@@ -1,0 +1,54 @@
+"""Decode-state pytrees for the functional engine.
+
+The reference scatters this state across mutable backend attributes and
+driver-local variables that get hand-rolled-back every window
+(Engine/SnapKV/backend.py:25-114, tests/SnapKV/selfspec_benchmark.py:164-181).
+Here it is one immutable pytree threaded through jitted step functions, so the
+whole speculation loop lives on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class SpecState:
+    """Dual-cache speculative decoding state (self-spec or standalone draft).
+
+    Cache arrays are [L, B, H_kv, S, head_dim]; all lengths int32 [B].
+    """
+
+    k: jnp.ndarray            # target KV cache
+    v: jnp.ndarray
+    target_lens: jnp.ndarray  # visible target length (prefix + committed)
+    dk: jnp.ndarray           # draft (compressed) KV cache
+    dv: jnp.ndarray
+    draft_fill: jnp.ndarray   # draft cache fill = append slot & causal base
+    draft_pos: jnp.ndarray    # rope position base for the next draft token
+                              # (SnapKV: real position == target_lens;
+                              #  StreamingLLM: slot position == draft_fill)
+    token0: jnp.ndarray       # [B] next window's committed slot-0 token
+    output: jnp.ndarray       # [B, cap] generated tokens (slot 0 = first
+                              # token produced by prefill)
+    num_committed: jnp.ndarray  # [B] tokens written into `output`
+    target_steps: jnp.ndarray   # scalar int32, number of verify calls
+    done: jnp.ndarray           # scalar bool (batch-global, like reference)
+    # StreamingLLM double-buffer carry (fixed shape; unused by SnapKV)
+    db_tokens: Optional[jnp.ndarray] = None   # [B, 2]
+    db_update: Optional[jnp.ndarray] = None   # [B] in {1, 2}
+
+
+@flax.struct.dataclass
+class BaselineState:
+    """Autoregressive decode state (single full cache)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    lens: jnp.ndarray
+    token0: jnp.ndarray
+    output: jnp.ndarray
+    num_committed: jnp.ndarray

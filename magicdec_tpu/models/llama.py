@@ -1,0 +1,223 @@
+"""Functional Llama-family decoder for TPU (pure JAX, scan-over-layers).
+
+Covers the model layer of the reference (Engine/SnapKV/model.py:114-469,
+Engine/StreamingLLM/model.py:159-447) re-designed TPU-first:
+
+- immutable parameter pytree with layer-stacked weights, traversed with one
+  ``lax.scan`` so compile time is O(1) in depth;
+- KV caches are explicit inputs/outputs (no module state), length-governed
+  (see magicdec_tpu.ops.kv_cache);
+- every forward variant of the reference (forward / verify / draft_forward /
+  prefill / draft_prefill) is expressed as the same layer skeleton with a
+  different cache hook;
+- the head returns greedy argmax token ids like the reference
+  (Engine/SnapKV/model.py:171-188).  Under GSPMD a vocab-sharded lm_head +
+  argmax compiles to the psum-based global argmax automatically, with the same
+  lowest-index tie-breaking as a single chip — replacing the reference's
+  manual two-allreduce argmax trick (Engine/SnapKV/model.py:178-188).
+
+Weight shapes (P = (n_head + 2*n_kv_head) * head_dim, F = intermediate):
+    embed      [V, D]
+    layers.wqkv      [L, D, P]      layers.wqkv_bias [L, P] (optional)
+    layers.wo        [L, n_head*hd, D]
+    layers.w1/w3     [L, D, F]      layers.w2 [L, F, D]
+    layers.attn_norm [L, D]         layers.ffn_norm [L, D]
+    final_norm [D]
+    lm_head    [D, V] (None when tied to embed)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu.config import ModelConfig
+from magicdec_tpu.ops import attention as attn_ops
+from magicdec_tpu.ops import kv_cache as kv_ops
+from magicdec_tpu.ops.rope import apply_rope, rope_inv_freq
+
+Params = Dict[str, Any]
+Caches = Any  # pytree of [L, ...] arrays
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (norm.astype(x.dtype)) * w
+
+
+def _mlp(x: jnp.ndarray, wl: Params) -> jnp.ndarray:
+    gate = jax.nn.silu(x @ wl["w1"])
+    up = x @ wl["w3"]
+    return (gate * up) @ wl["w2"]
+
+
+def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
+    """x [B, T, D] -> q [B,T,Hq,hd], k,v [B,T,Hkv,hd] (pre-rope)."""
+    B, T, _ = x.shape
+    proj = x @ wl["wqkv"]
+    if wl.get("wqkv_bias") is not None:
+        proj = proj + wl["wqkv_bias"]
+    hd = cfg.head_dim
+    q_sz = cfg.n_head * hd
+    kv_sz = cfg.n_kv_head * hd
+    q, k, v = jnp.split(proj, [q_sz, q_sz + kv_sz], axis=-1)
+    return (q.reshape(B, T, cfg.n_head, hd),
+            k.reshape(B, T, cfg.n_kv_head, hd),
+            v.reshape(B, T, cfg.n_kv_head, hd))
+
+
+# ---------------------------------------------------------------------------
+# Layer skeleton
+# ---------------------------------------------------------------------------
+
+# An AttnHook maps (roped q, roped k, raw v, layer cache slice) -> (attn_out,
+# new layer cache slice).  It owns cache appends and the attention call; the
+# surrounding skeleton owns projections, norms, residuals and the MLP.
+AttnHook = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]]
+
+
+def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches,
+                layer_attn: Callable[[jnp.ndarray, Params, Any], Tuple[jnp.ndarray, Any]]):
+    """Run all layers with one lax.scan.  caches: pytree of [L, ...] arrays."""
+
+    def body(x, inputs):
+        wl, cache_l = inputs
+        attn_out, new_cache_l = layer_attn(rms_norm(x, wl["attn_norm"], cfg.norm_eps), wl, cache_l)
+        h = x + attn_out
+        out = h + _mlp(rms_norm(h, wl["ffn_norm"], cfg.norm_eps), wl)
+        return out, new_cache_l
+
+    x, new_caches = jax.lax.scan(body, x, (params["layers"], caches))
+    return x, new_caches
+
+
+def head_argmax(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Final norm + lm head + greedy argmax -> int32 [B, T]."""
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = head_logits(params, x)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def head_logits(params: Params, x_normed: jnp.ndarray) -> jnp.ndarray:
+    if params.get("lm_head") is not None:
+        return x_normed @ params["lm_head"]
+    return x_normed @ params["embed"].T  # tied embeddings (llama-3.2-1b)
+
+
+# ---------------------------------------------------------------------------
+# Forward variants
+# ---------------------------------------------------------------------------
+
+
+def _attn_project(x_norm: jnp.ndarray, wl: Params, cfg: ModelConfig,
+                  pos_q: jnp.ndarray, pos_k: Optional[jnp.ndarray],
+                  inv_freq: jnp.ndarray):
+    """Projections + rope.  pos_*: [B, T] absolute rope positions.
+    pos_k=None leaves k un-roped (StreamingLLM draft prefill stores raw keys,
+    reference Engine/StreamingLLM/model.py:402-419)."""
+    q, k, v = _qkv(x_norm, wl, cfg)
+    q = apply_rope(q, pos_q, inv_freq)
+    if pos_k is not None:
+        k = apply_rope(k, pos_k, inv_freq)
+    return q, k, v
+
+
+def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                    caches: Caches, attn_hook_builder, *, return_logits: bool = False):
+    """Shared driver: embed -> scan(layers with hook) -> head.
+
+    attn_hook_builder(cfg, inv_freq) must return a function
+    (x_norm, wl, cache_l) -> (attn_out, new_cache_l).
+    """
+    inv_freq = rope_inv_freq(cfg)
+    x = params["embed"][tokens]
+    layer_attn = attn_hook_builder(cfg, inv_freq)
+    x, new_caches = scan_layers(params, cfg, x, caches, layer_attn)
+    if return_logits:
+        x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+        return head_logits(params, x), new_caches
+    return head_argmax(params, cfg, x), new_caches
+
+
+def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                   base_lens: jnp.ndarray, caches: Caches, *,
+                   return_logits: bool = False):
+    """Decode / verify (without draft refresh) / prefill chunk on a full cache.
+
+    tokens [B, T]; base_lens [B] = visible cache length before this call.
+    caches: {'k': [L,B,Hkv,S,hd], 'v': ...}.  Positions are real:
+    base_lens + arange(T).  Equivalent to reference Transformer.forward /
+    StreamingLLM Transformer.verify / prefill (Engine/SnapKV/model.py:171-245).
+    """
+    T = tokens.shape[1]
+    pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+
+    def builder(cfg, inv_freq):
+        def hook(x_norm, wl, cache_l):
+            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+            kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
+            out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
+            B, t = x_norm.shape[:2]
+            y = out.reshape(B, t, cfg.n_head * cfg.head_dim) @ wl["wo"]
+            return y, {"k": kc, "v": vc}
+        return hook
+
+    return forward_generic(params, cfg, tokens, caches, builder,
+                           return_logits=return_logits)
+
+
+def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                          base_lens: jnp.ndarray, draft_fill: jnp.ndarray,
+                          caches: Caches):
+    """SnapKV self-spec verify: target attention + dual append.
+
+    Appends the (real-position-roped) k,v of the gamma+1 window tokens to BOTH
+    the target cache (at base_lens) and the draft cache (at draft_fill,
+    overwriting the gamma slots the draft speculated) — reference
+    Engine/SnapKV/model.py:338-353 + backend.py:181-197.
+    caches: {'k','v','dk','dv'}.
+    """
+    T = tokens.shape[1]
+    pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+
+    def builder(cfg, inv_freq):
+        def hook(x_norm, wl, cache_l):
+            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+            kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
+            dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
+            out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
+            B, t = x_norm.shape[:2]
+            y = out.reshape(B, t, cfg.n_head * cfg.head_dim) @ wl["wo"]
+            return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
+        return hook
+
+    return forward_generic(params, cfg, tokens, caches, builder)
+
+
+def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
+                  draft_fill: jnp.ndarray, rope_pos: jnp.ndarray, caches: Caches):
+    """Draft decode step over the compressed cache.
+
+    draft_fill [B]: cache fill (append position & causal base).
+    rope_pos [B]: rope position of the first token — real positions for SnapKV
+    (reference backend.py:199-229 passes draft_cachelens == target cachelens),
+    slot positions (== draft_fill) for StreamingLLM.
+    caches: {'dk','dv'}.
+    """
+    T = tokens.shape[1]
+    pos = rope_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+
+    def builder(cfg, inv_freq):
+        def hook(x_norm, wl, cache_l):
+            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+            dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
+            out = attn_ops.attend(q, dk, dv, draft_fill, causal=True)
+            B, t = x_norm.shape[:2]
+            y = out.reshape(B, t, cfg.n_head * cfg.head_dim) @ wl["wo"]
+            return y, {"dk": dk, "dv": dv}
+        return hook
+
+    return forward_generic(params, cfg, tokens, caches, builder)

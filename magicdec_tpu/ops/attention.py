@@ -1,0 +1,55 @@
+"""Batched GQA attention over length-governed KV caches (jnp reference path).
+
+These are the semantics flashinfer's BatchPrefillWithPagedKVCacheWrapper
+provides the reference (Engine/SnapKV/backend.py:42-115): ragged per-request
+lengths, causal masking aligned so the *end* of the query window coincides with
+the *end* of the visible KV, GQA, softmax in fp32.  Shapes are static; raggedness
+is expressed through masks, which is what keeps the whole decode step jittable.
+
+A Pallas flash kernel (magicdec_tpu.ops.pallas) replaces this on the hot path;
+this module is the numerics oracle it is tested against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+           base_lens: jnp.ndarray, *, causal: bool = True) -> jnp.ndarray:
+    """Multi-token decode / verify / chunked-prefill attention.
+
+    q:        [B, T, H_q, D]   (T = 1 decode, gamma+1 verify, chunk prefill)
+    k_cache:  [B, H_kv, S, D]  (already contains the T new tokens)
+    v_cache:  [B, H_kv, S, D]
+    base_lens:[B] int32 — visible KV length *before* the T new tokens.
+              Query row t attends cache slots [0, base_lens + t + 1) when causal,
+              else [0, base_lens + T).
+    Returns:  [B, T, H_q, D] in q.dtype.
+    """
+    B, T, Hq, D = q.shape
+    Hkv = k_cache.shape[1]
+    G = Hq // Hkv
+    S = k_cache.shape[2]
+
+    qg = q.reshape(B, T, Hkv, G, D)
+    # scores: [B, Hkv, G, T, S]
+    scores = jnp.einsum("btkgd,bksd->bkgts", qg.astype(jnp.float32),
+                        k_cache.astype(jnp.float32))
+    scores = scores * (1.0 / jnp.sqrt(D).astype(jnp.float32))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+        limit = base_lens[:, None, None] + row[None] + 1  # [B, T, S]
+    else:
+        limit = (base_lens + T)[:, None, None]
+    mask = col[None] < limit  # [B, T, S]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache.astype(jnp.float32))
+    return out.reshape(B, T, Hq, D).astype(q.dtype)

@@ -1,0 +1,96 @@
+"""SnapKV draft-cache construction (observation-window top-k compression).
+
+Behavioral port of reference ``Attention.gen_draft_kv``
+(Engine/SnapKV/model.py:389-439): score all prefix keys by the attention mass
+the last `window` (already-roped) queries put on them, avg-pool the scores,
+sum across each GQA group, keep the top-(budget - window) keys per kv head plus
+the window itself.  Selected K/V keep their original rope — the draft cache is
+position-incoherent across heads, which is fine because draft decode only ever
+attends over it (SURVEY.md §2.2).
+
+Deviations from the reference, both deliberate:
+- the causal mask inside the observation window is applied to *all* GQA groups
+  (the reference's chunked masking only lands exactly when chunk == window);
+- no attention scaling either way (the reference omits 1/sqrt(d) here; we
+  faithfully omit it too, since it changes the softmax temperature and thus
+  the selected set).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _avg_pool_1d(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """torch.nn.functional.avg_pool1d(k, stride=1, padding=k//2,
+    count_include_pad=True) over the last axis."""
+    pad = kernel // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    cs = jnp.cumsum(xp, axis=-1)
+    cs = jnp.pad(cs, [(0, 0)] * (x.ndim - 1) + [(1, 0)])
+    return (cs[..., kernel:] - cs[..., :-kernel]) / kernel
+
+
+def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                    *, ctx_len: int, window: int, budget: int,
+                    kernel_size: int = 5, pooling: str = "avgpool"):
+    """Select the compressed draft KV set.
+
+    q_win:   [B, W, Hq, hd] roped queries of the last `window` prefill tokens
+             (global positions ctx_len-W .. ctx_len-1).
+    k_cache/v_cache: [B, Hkv, S, hd] with the first ctx_len slots filled.
+    Returns (dk_new, dv_new): [B, Hkv, budget, hd].
+    """
+    B, W, Hq, hd = q_win.shape
+    Hkv = k_cache.shape[1]
+    G = Hq // Hkv
+    topk = budget - window
+    assert W == window, (W, window)
+    assert ctx_len - window >= topk, "prefix too short for draft budget"
+
+    keys = k_cache[:, :, :ctx_len]
+    vals = v_cache[:, :, :ctx_len]
+
+    # causal mask for the window block: query i (global ctx-W+i) must not see
+    # key j >= ctx-W+i+1
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, ctx_len), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (W, ctx_len), 0)
+    visible = col <= (ctx_len - W) + row  # [W, ctx]
+
+    def one_request(qb, kb, vb):
+        # qb [W, Hq, hd]; kb/vb [Hkv, ctx, hd]
+        qg = qb.reshape(W, Hkv, G, hd).transpose(1, 2, 0, 3)  # [Hkv, G, W, hd]
+        scores = jnp.einsum("kgwd,ksd->kgws", qg.astype(jnp.float32),
+                            kb.astype(jnp.float32))
+        scores = jnp.where(visible[None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        mass = probs[..., : ctx_len - W].sum(axis=2)        # [Hkv, G, ctx-W]
+        pooled = _pool(mass)
+        head_score = pooled.sum(axis=1)                     # [Hkv, ctx-W]
+        _, idx = jax.lax.top_k(head_score, topk)            # [Hkv, topk]
+        k_sel = jnp.take_along_axis(kb[:, : ctx_len - W], idx[..., None], axis=1)
+        v_sel = jnp.take_along_axis(vb[:, : ctx_len - W], idx[..., None], axis=1)
+        dk = jnp.concatenate([k_sel, kb[:, ctx_len - W: ctx_len]], axis=1)
+        dv = jnp.concatenate([v_sel, vb[:, ctx_len - W: ctx_len]], axis=1)
+        return dk, dv
+
+    def _pool(mass):
+        if pooling == "avgpool":
+            return _avg_pool_1d(mass, kernel_size)
+        if pooling == "maxpool":
+            pad = kernel_size // 2
+            mp = jnp.pad(mass, [(0, 0)] * (mass.ndim - 1) + [(pad, pad)],
+                         constant_values=-jnp.inf)
+            windows = jnp.stack([mp[..., i:i + mass.shape[-1]]
+                                 for i in range(kernel_size)], axis=0)
+            return windows.max(axis=0)
+        raise ValueError(pooling)
+
+    # scan over batch to bound the [G, W, ctx] fp32 score tensor's footprint
+    # (the reference chunks query rows for the same reason, model.py:406-418)
+    _, (dk_new, dv_new) = jax.lax.scan(
+        lambda _, xs: (None, one_request(*xs)), None, (q_win, keys, vals))
+    return dk_new, dv_new
