@@ -1,0 +1,124 @@
+"""Headline benchmark: self-speculative vs autoregressive decoding throughput.
+
+Mirrors the reference protocol (BASELINE.md: decode-loop timing after prefill,
+~80 generated tokens/sequence, speedup = spec tok/s / autoregressive tok/s at
+the same batch/prefix; tests/StreamingLLM/selfspec_benchmark.py:94-250) on one
+TPU chip with llama-3.2-1b-shaped weights.
+
+Weights are synthetic (zero network egress): random parameters with damped
+residual blocks so that greedy continuations are stable enough for the draft's
+compressed-cache argmax to agree with the target at realistic rates (the
+published acceptance for real checkpoints is ~0.79-0.84, BASELINE.md).
+Acceptance and both raw throughputs are printed to stderr; the single JSON line
+on stdout is the driver contract.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25):
+    rng = np.random.RandomState(seed)
+
+    def w(*shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-2] if len(shape) > 1 else 1))
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale, dtype)
+
+    L, D, F = cfg.n_layer, cfg.dim, cfg.intermediate_size
+    layers = {
+        "wq": w(L, D, cfg.n_head * cfg.head_dim),
+        "wk": w(L, D, cfg.n_kv_head * cfg.head_dim),
+        "wv": w(L, D, cfg.n_kv_head * cfg.head_dim),
+        "bq": None, "bk": None, "bv": None,
+        "wo": w(L, cfg.n_head * cfg.head_dim, D, scale=residual_scale / np.sqrt(D)),
+        "w1": w(L, D, F), "w3": w(L, D, F),
+        "w2": w(L, F, D, scale=residual_scale / np.sqrt(F)),
+        "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
+    }
+    return {"embed": w(cfg.vocab_size, D, scale=1.0), "layers": layers,
+            "final_norm": jnp.ones((D,), dtype),
+            "lm_head": w(D, cfg.vocab_size, scale=0.02)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="llama-3.2-1b")
+    p.add_argument("--B", type=int, default=8)
+    p.add_argument("--prefix_len", type=int, default=8192)
+    p.add_argument("--gamma", type=int, default=3)
+    p.add_argument("--draft_budget", type=int, default=513)
+    p.add_argument("--mode", default="streamingllm", choices=["streamingllm", "snapkv"])
+    p.add_argument("--max_gen", type=int, default=80)
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    from magicdec_tpu.config import ModelConfig
+    from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
+
+    cfg = ModelConfig.from_name(args.model)
+    params = make_params(cfg)
+    prefix = args.prefix_len
+    if args.mode == "snapkv":
+        prefix = (prefix // 128) * 128 + 32  # reference shape contract
+    ecfg = EngineConfig(
+        mode=args.mode, gamma=args.gamma, draft_budget=args.draft_budget,
+        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 127) // 128) * 128,
+        chunk_size=128, max_gen=args.max_gen, eot_ids=(-1,),
+        cache_dtype=jnp.bfloat16)
+    engine = SpecEngine(params, cfg, ecfg)
+
+    rng = np.random.RandomState(0)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (args.B, prefix)), jnp.int32)
+
+    def run_spec():
+        st = engine.encode(prompt)
+        jax.block_until_ready(st.token0)
+        t0 = time.perf_counter()
+        st, stats = engine.generate(st)
+        jax.block_until_ready(st.output)
+        dt = time.perf_counter() - t0
+        gen = int(np.asarray(stats["gen_tokens"]).sum())
+        steps = int(stats["target_steps"])
+        return gen / dt, gen, steps, dt
+
+    def run_baseline():
+        st = engine.encode_baseline(prompt)
+        jax.block_until_ready(st.token0)
+        t0 = time.perf_counter()
+        st, stats = engine.generate_baseline(st, max_new=args.max_gen)
+        jax.block_until_ready(st.output)
+        dt = time.perf_counter() - t0
+        gen = int(np.asarray(stats["gen_tokens"]).sum())
+        return gen / dt, gen, dt
+
+    # warmup (compile), then measure best of iters
+    run_spec(); run_baseline()
+    spec = max(run_spec() for _ in range(args.iters))
+    base = max(run_baseline() for _ in range(args.iters))
+
+    spec_tps, gen, steps, dt = spec
+    base_tps = base[0]
+    accept = gen / max(steps, 1) / args.B  # committed tokens per target step
+    print(f"[bench] mode={args.mode} B={args.B} prefix={prefix} gamma={args.gamma} "
+          f"budget={args.draft_budget}", file=sys.stderr)
+    print(f"[bench] spec: {spec_tps:.1f} tok/s ({gen} tok in {dt:.3f}s, "
+          f"{steps} target steps, {accept:.2f} tokens/step/seq)", file=sys.stderr)
+    print(f"[bench] autoregressive: {base_tps:.1f} tok/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"selfspec_{args.mode}_tokens_per_s_{args.model}_B{args.B}_ctx{prefix}",
+        "value": round(spec_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(spec_tps / base_tps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

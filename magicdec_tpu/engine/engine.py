@@ -1,0 +1,425 @@
+"""TPU-native speculative decoding engine.
+
+Re-architecture of the reference's L3+L5 layers (LMBackend + driver scripts):
+where the reference exposes mutable single-step primitives and rolls page
+tables back on the host every window (SURVEY.md §1, §2.4), this engine owns the
+entire control loop on-device:
+
+- ``encode``           — chunked prefill as one jitted lax.scan program
+                         (reference: per-chunk host ``plan()`` + kernel launch,
+                         Engine/SnapKV/backend.py:231-287);
+- ``generate``         — the full draft-gamma/verify/accept/rollback loop as a
+                         single jitted lax.while_loop (reference: host Python
+                         loop, tests/SnapKV/selfspec_benchmark.py:120-211);
+- ``generate_baseline``— autoregressive decoding as one jitted lax.scan.
+
+Greedy acceptance semantics match the reference exactly (engine/spec.py).
+Both self-speculation variants are supported: "snapkv" (top-k compressed draft
+cache refreshed by verify) and "streamingllm" (sink+window draft cache with the
+double-buffer bonus path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu.config import ModelConfig
+from magicdec_tpu.engine import spec as spec_ops
+from magicdec_tpu.engine.state import BaselineState, SpecState
+from magicdec_tpu.models import llama as M
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    mode: str = "streamingllm"         # "streamingllm" | "snapkv"
+    gamma: int = 3
+    draft_budget: int = 257            # reference constraint: budget % 128 == 1
+    max_seq_len: int = 2048
+    chunk_size: int = 128
+    window_size: int = 32              # snapkv observation window
+    sink_size: int = 16                # streamingllm attention sink
+    kernel_size: int = 5               # snapkv pooling kernel
+    pooling: str = "avgpool"
+    max_gen: int = 80                  # reference stop rule: selfspec:193
+    eot_ids: Tuple[int, ...] = (-1,)
+    cache_dtype: Any = jnp.bfloat16
+
+
+class SpecEngine:
+    """Self-speculation engine (one weight set, two caches).
+
+    ``params``/``cfg`` follow magicdec_tpu.models.llama.  All jitted callables
+    are cached per input shape.
+    """
+
+    def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        if ecfg.mode not in ("streamingllm", "snapkv"):
+            raise ValueError(ecfg.mode)
+        self._draft_cap = ecfg.draft_budget + _round_up(ecfg.max_gen + ecfg.gamma + 2, 128)
+        self._out_cap = ecfg.max_gen + ecfg.gamma + 2
+        self._eot = jnp.asarray(ecfg.eot_ids, dtype=jnp.int32)
+        self.mesh = mesh
+        self._spec_shardings = None
+        self._baseline_shardings = None
+        if mesh is not None:
+            from magicdec_tpu.parallel import sharding as S
+            S.validate_mesh(cfg, mesh)
+            self.params = S.shard_params(params, cfg, mesh)
+            self._spec_shardings = S._to_shardings(S.spec_state_pspecs(), mesh)
+            self._baseline_shardings = S._to_shardings(S.baseline_state_pspecs(), mesh)
+            self._cache_sharding = jax.sharding.NamedSharding(mesh, S.cache_pspec())
+
+    # ------------------------------------------------------------------
+    # allocation
+    # ------------------------------------------------------------------
+
+    def _cache_shape(self, B: int, S: int):
+        c = self.cfg
+        return (c.n_layer, B, c.n_kv_head, S, c.head_dim)
+
+    def _zero_caches(self, B: int):
+        e, dt = self.ecfg, self.ecfg.cache_dtype
+        k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
+        v = jnp.zeros_like(k)
+        dk = jnp.zeros(self._cache_shape(B, self._draft_cap), dt)
+        dv = jnp.zeros_like(dk)
+        if self.mesh is not None:
+            k, v, dk, dv = (jax.lax.with_sharding_constraint(x, self._cache_sharding)
+                            for x in (k, v, dk, dv))
+        return k, v, dk, dv
+
+    # ------------------------------------------------------------------
+    # prefill (encode)
+    # ------------------------------------------------------------------
+
+    def encode(self, input_ids: jnp.ndarray) -> SpecState:
+        """Prefill both caches from [B, prefix] prompts; returns ready state."""
+        B, prefix = input_ids.shape
+        fn = self._encode_fn(B, prefix)
+        return fn(self.params, jnp.asarray(input_ids, jnp.int32))
+
+    @functools.lru_cache(maxsize=8)
+    def _encode_fn(self, B: int, prefix: int):
+        e, cfg = self.ecfg, self.cfg
+        C = e.chunk_size
+        assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
+            "max_seq_len too small for prefix + generation"
+
+        def target_prefill(params, tokens, caches):
+            """Chunked target prefill over tokens [B, P]; returns
+            (caches, lens, last hidden state [B, D])."""
+            P = tokens.shape[1]
+            n_full, rem = P // C, P % C
+            lens = jnp.zeros((B,), jnp.int32)
+            x_last = None
+            if n_full:
+                xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+
+                def body(carry, chunk):
+                    caches, lens = carry
+                    x, caches = M.forward_target(params, cfg, chunk, lens, caches,
+                                                 head="none")
+                    return (caches, lens + C), x[:, -1]
+
+                (caches, lens), last_hidden = jax.lax.scan(body, (caches, lens), xs)
+                x_last = last_hidden[-1]
+            if rem:
+                x, caches = M.forward_target(params, cfg, tokens[:, n_full * C:],
+                                             lens, caches, head="none")
+                lens = lens + rem
+                x_last = x[:, -1]
+            return caches, lens, x_last
+
+        if e.mode == "snapkv":
+            # reference constraint: last chunk is exactly the observation
+            # window (tests/SnapKV/selfspec_benchmark.py:37-40)
+            assert prefix % C == e.window_size % C and prefix >= e.window_size, \
+                f"snapkv prefill requires prefix ≡ window (mod {C})"
+
+            def encode(params, tokens):
+                k, v, dk, dv = self._zero_caches(B)
+                caches = {"k": k, "v": v}
+                caches, lens, _ = target_prefill(params, tokens[:, :-e.window_size],
+                                                 caches)
+                caches = {**caches, "dk": dk, "dv": dv}
+                toks, caches = M.forward_prefill_snapkv_last(
+                    params, cfg, tokens[:, prefix - e.window_size:], lens, caches,
+                    ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
+                    kernel_size=e.kernel_size, pooling=e.pooling)
+                lens = lens + e.window_size
+                token0 = toks[:, -1]
+                return self._fresh_state(caches, lens, token0,
+                                         draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
+                                         draft_pos=lens)
+        else:
+            def encode(params, tokens):
+                k, v, dk, dv = self._zero_caches(B)
+                caches, lens, x_last = target_prefill(params, tokens, {"k": k, "v": v})
+                token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
+
+                # second pass: draft prefill with sink+window eviction
+                dcaches = {"dk": dk, "dv": dv}
+                n_full = prefix // C
+                rem = prefix - n_full * C
+                fill = jnp.zeros((), jnp.int32)
+                if n_full:
+                    xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+
+                    def body(carry, chunk):
+                        dcaches, fill = carry
+                        _, dcaches = M.forward_streaming_draft_chunk(
+                            params, cfg, chunk, fill, dcaches,
+                            budget=e.draft_budget, sink=e.sink_size)
+                        return (dcaches, jnp.minimum(fill + C, e.draft_budget)), None
+
+                    (dcaches, fill), _ = jax.lax.scan(body, (dcaches, fill), xs)
+                if rem:
+                    _, dcaches = M.forward_streaming_draft_chunk(
+                        params, cfg, tokens[:, n_full * C:], fill, dcaches,
+                        budget=e.draft_budget, sink=e.sink_size)
+                    fill = jnp.minimum(fill + rem, e.draft_budget)
+                dcaches = M.streaming_finalize_draft(cfg, dcaches, budget=e.draft_budget)
+                draft_fill = jnp.broadcast_to(jnp.minimum(fill, e.draft_budget), (B,))
+                caches = {**caches, **dcaches}
+                return self._fresh_state(caches, lens, token0,
+                                         draft_fill=draft_fill.astype(jnp.int32),
+                                         draft_pos=draft_fill.astype(jnp.int32))
+
+        return jax.jit(encode, out_shardings=self._spec_shardings)
+
+    def _fresh_state(self, caches, lens, token0, *, draft_fill, draft_pos) -> SpecState:
+        B = lens.shape[0]
+        e = self.ecfg
+        output = jnp.zeros((B, self._out_cap), jnp.int32)
+        db_tokens = jnp.stack([token0, jnp.zeros_like(token0)], axis=1)
+        return SpecState(
+            k=caches["k"], v=caches["v"], target_lens=lens,
+            dk=caches["dk"], dv=caches["dv"],
+            draft_fill=draft_fill, draft_pos=draft_pos,
+            token0=token0, output=output,
+            num_committed=jnp.zeros((B,), jnp.int32),
+            target_steps=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            db_tokens=db_tokens,
+            db_update=jnp.ones((B,), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # speculative generation (one jitted while_loop)
+    # ------------------------------------------------------------------
+
+    def generate(self, state: SpecState) -> Tuple[SpecState, Dict[str, Any]]:
+        fn = self._generate_fn(state.token0.shape[0])
+        state = fn(self.params, state)
+        stats = {
+            "output": state.output,
+            "num_committed": state.num_committed,
+            "gen_tokens": state.num_committed - 1,  # reference metric excludes
+                                                    # the prefill-produced token
+            "target_steps": state.target_steps,
+        }
+        return state, stats
+
+    @functools.lru_cache(maxsize=8)
+    def _generate_fn(self, B: int):
+        e = self.ecfg
+        window = (self._window_snapkv if e.mode == "snapkv"
+                  else self._window_streaming)
+
+        def gen(params, st: SpecState) -> SpecState:
+            max_steps = e.max_gen + 1  # every window commits >= 1 token
+
+            def cond(st):
+                return (~st.done) & (st.target_steps < max_steps)
+
+            return jax.lax.while_loop(cond, functools.partial(window, params), st)
+
+        return jax.jit(gen, donate_argnums=(1,))
+
+    def _finish_window(self, st: SpecState, tokens_buffer, target_tokens,
+                       caches, *, draft_fill, draft_pos) -> SpecState:
+        """Shared acceptance / commit / termination logic."""
+        e = self.ecfg
+        accept, bonus, eot_accepted = spec_ops.greedy_accept(
+            target_tokens, tokens_buffer, self._eot)
+        output = spec_ops.commit_tokens(st.output, st.num_committed,
+                                        tokens_buffer, accept)
+        committed = st.num_committed + accept
+        done = (eot_accepted
+                | spec_ops.is_eot(bonus, self._eot).any()
+                | (committed.max() >= e.max_gen))
+        output = jnp.where(done, spec_ops.write_at(output, committed, bonus), output)
+        committed = committed + done.astype(jnp.int32)
+
+        gamma = e.gamma
+        full = accept == gamma + 1
+        db_tokens = jnp.stack([
+            jnp.where(full, tokens_buffer[:, gamma], bonus),
+            jnp.where(full, bonus, jnp.zeros_like(bonus)),
+        ], axis=1)
+        db_update = jnp.where(full, 2, 1).astype(jnp.int32)
+
+        return st.replace(
+            k=caches["k"], v=caches["v"], dk=caches["dk"], dv=caches["dv"],
+            target_lens=st.target_lens + accept,
+            draft_fill=draft_fill(accept), draft_pos=draft_pos(accept),
+            token0=bonus, output=output, num_committed=committed,
+            target_steps=st.target_steps + 1, done=done,
+            db_tokens=db_tokens, db_update=db_update,
+        )
+
+    def _window_snapkv(self, params, st: SpecState) -> SpecState:
+        """SnapKV self-spec window (reference tests/SnapKV/selfspec:120-211).
+
+        Drafts at *real* rope positions; verify dual-appends the target's KV
+        into the draft cache, overwriting the speculated slots."""
+        e, cfg = self.ecfg, self.cfg
+        f0 = st.draft_fill
+
+        def draft_body(carry, _):
+            dk, dv, fill, pos, tok = carry
+            nxt, dc = M.forward_draft(params, cfg, tok[:, None], fill, pos,
+                                      {"dk": dk, "dv": dv})
+            nxt = nxt[:, 0]
+            return (dc["dk"], dc["dv"], fill + 1, pos + 1, nxt), nxt
+
+        (dk, dv, _, _, _), drafted = jax.lax.scan(
+            draft_body, (st.dk, st.dv, f0, st.draft_pos, st.token0),
+            None, length=e.gamma)
+        tokens_buffer = jnp.concatenate(
+            [st.token0[:, None], jnp.moveaxis(drafted, 0, 1)], axis=1)
+
+        caches = {"k": st.k, "v": st.v, "dk": dk, "dv": dv}
+        target_tokens, caches = M.forward_verify_snapkv(
+            params, cfg, tokens_buffer, st.target_lens, f0, caches)
+
+        return self._finish_window(
+            st, tokens_buffer, target_tokens, caches,
+            draft_fill=lambda acc: f0 + acc,
+            draft_pos=lambda acc: st.draft_pos + acc)
+
+    def _window_streaming(self, params, st: SpecState) -> SpecState:
+        """StreamingLLM self-spec window (tests/StreamingLLM/selfspec:121-224).
+
+        Drafts at *slot* positions; first draft step consumes the 2-token
+        double buffer (bonus + carried last-draft token after a fully-accepted
+        window); draft-cache advance is capped at gamma."""
+        e, cfg = self.ecfg, self.cfg
+        f0 = st.draft_fill
+        dcaches = {"dk": st.dk, "dv": st.dv}
+
+        nxt2, dcaches = M.forward_draft(params, cfg, st.db_tokens, f0, f0, dcaches)
+        tok1 = jnp.take_along_axis(nxt2, (st.db_update - 1)[:, None], axis=1)[:, 0]
+        fill = f0 + st.db_update
+
+        def draft_body(carry, _):
+            dk, dv, fill, tok = carry
+            nxt, dc = M.forward_draft(params, cfg, tok[:, None], fill, fill,
+                                      {"dk": dk, "dv": dv})
+            nxt = nxt[:, 0]
+            return (dc["dk"], dc["dv"], fill + 1, nxt), nxt
+
+        (dk, dv, _, _), drafted = jax.lax.scan(
+            draft_body, (dcaches["dk"], dcaches["dv"], fill, tok1),
+            None, length=e.gamma - 1)
+        drafted = jnp.concatenate([tok1[:, None], jnp.moveaxis(drafted, 0, 1)], axis=1)
+        tokens_buffer = jnp.concatenate([st.token0[:, None], drafted], axis=1)
+
+        caches = {"k": st.k, "v": st.v}
+        target_tokens, caches = M.forward_target(
+            params, cfg, tokens_buffer, st.target_lens, caches)
+        caches = {**caches, "dk": dk, "dv": dv}
+
+        gamma = e.gamma
+        return self._finish_window(
+            st, tokens_buffer, target_tokens, caches,
+            draft_fill=lambda acc: f0 + st.db_update - 1 + jnp.minimum(acc, gamma),
+            draft_pos=lambda acc: f0 + st.db_update - 1 + jnp.minimum(acc, gamma))
+
+    # ------------------------------------------------------------------
+    # autoregressive baseline (tests/baseline_benchmark.py equivalent)
+    # ------------------------------------------------------------------
+
+    def encode_baseline(self, input_ids: jnp.ndarray) -> BaselineState:
+        B, prefix = input_ids.shape
+        fn = self._encode_baseline_fn(B, prefix)
+        return fn(self.params, jnp.asarray(input_ids, jnp.int32))
+
+    @functools.lru_cache(maxsize=8)
+    def _encode_baseline_fn(self, B: int, prefix: int):
+        e, cfg = self.ecfg, self.cfg
+        C = e.chunk_size
+
+        def encode(params, tokens):
+            dt = e.cache_dtype
+            k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
+            v = jnp.zeros_like(k)
+            caches = {"k": k, "v": v}
+            n_full, rem = prefix // C, prefix % C
+            lens = jnp.zeros((B,), jnp.int32)
+            x_last = None
+            if n_full:
+                xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+
+                def body(carry, chunk):
+                    caches, lens = carry
+                    x, caches = M.forward_target(params, cfg, chunk, lens, caches,
+                                                 head="none")
+                    return (caches, lens + C), x[:, -1]
+
+                (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
+                x_last = last_h[-1]
+            if rem:
+                x, caches = M.forward_target(params, cfg, tokens[:, n_full * C:],
+                                             lens, caches, head="none")
+                lens = lens + rem
+                x_last = x[:, -1]
+            token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
+            output = jnp.zeros((B, self._out_cap), jnp.int32)
+            output = spec_ops.write_at(output, jnp.zeros((B,), jnp.int32), token0)
+            return BaselineState(k=caches["k"], v=caches["v"], lens=lens,
+                                 token0=token0, output=output,
+                                 num_committed=jnp.ones((B,), jnp.int32))
+
+        return jax.jit(encode, out_shardings=self._baseline_shardings)
+
+    def generate_baseline(self, state: BaselineState,
+                          max_new: Optional[int] = None) -> Tuple[BaselineState, Dict[str, Any]]:
+        max_new = max_new if max_new is not None else self.ecfg.max_gen
+        fn = self._generate_baseline_fn(state.token0.shape[0], max_new)
+        state = fn(self.params, state)
+        return state, {"output": state.output, "num_committed": state.num_committed,
+                       "gen_tokens": state.num_committed - 1}
+
+    @functools.lru_cache(maxsize=8)
+    def _generate_baseline_fn(self, B: int, max_new: int):
+        cfg = self.cfg
+
+        def gen(params, st: BaselineState) -> BaselineState:
+            def body(carry, _):
+                k, v, lens, tok, out, n = carry
+                nxt, caches = M.forward_target(params, cfg, tok[:, None], lens,
+                                               {"k": k, "v": v})
+                nxt = nxt[:, 0]
+                out = spec_ops.write_at(out, n, nxt)
+                return (caches["k"], caches["v"], lens + 1, nxt, out, n + 1), None
+
+            (k, v, lens, tok, out, n), _ = jax.lax.scan(
+                body, (st.k, st.v, st.lens, st.token0, st.output, st.num_committed),
+                None, length=max_new - 1)
+            return BaselineState(k=k, v=v, lens=lens, token0=tok, output=out,
+                                 num_committed=n)
+
+        return jax.jit(gen, donate_argnums=(1,))

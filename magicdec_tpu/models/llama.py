@@ -16,12 +16,13 @@ Engine/StreamingLLM/model.py:159-447) re-designed TPU-first:
   lowest-index tie-breaking as a single chip — replacing the reference's
   manual two-allreduce argmax trick (Engine/SnapKV/model.py:178-188).
 
-Weight shapes (P = (n_head + 2*n_kv_head) * head_dim, F = intermediate):
+Weight shapes (F = intermediate size, hd = head_dim):
     embed      [V, D]
-    layers.wqkv      [L, D, P]      layers.wqkv_bias [L, P] (optional)
+    layers.wq        [L, D, n_head*hd]     layers.bq [L, n_head*hd] (optional)
+    layers.wk/wv     [L, D, n_kv_head*hd]  layers.bk/bv (optional)
     layers.wo        [L, n_head*hd, D]
-    layers.w1/w3     [L, D, F]      layers.w2 [L, F, D]
-    layers.attn_norm [L, D]         layers.ffn_norm [L, D]
+    layers.w1/w3     [L, D, F]             layers.w2 [L, F, D]
+    layers.attn_norm [L, D]                layers.ffn_norm [L, D]
     final_norm [D]
     lm_head    [D, V] (None when tied to embed)
 """
@@ -37,8 +38,16 @@ from magicdec_tpu.config import ModelConfig
 from magicdec_tpu.ops import attention as attn_ops
 from magicdec_tpu.ops import kv_cache as kv_ops
 from magicdec_tpu.ops.rope import apply_rope, rope_inv_freq
+from magicdec_tpu.quantization import is_quantized, quant_matmul
 
 Params = Dict[str, Any]
+
+
+def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Linear layer dispatch: dense array or QuantizedWeight (int8/int4)."""
+    if is_quantized(w):
+        return quant_matmul(x, w)
+    return x @ w
 Caches = Any  # pytree of [L, ...] arrays
 
 
@@ -49,21 +58,27 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _mlp(x: jnp.ndarray, wl: Params) -> jnp.ndarray:
-    gate = jax.nn.silu(x @ wl["w1"])
-    up = x @ wl["w3"]
-    return (gate * up) @ wl["w2"]
+    gate = jax.nn.silu(matmul(x, wl["w1"]))
+    up = matmul(x, wl["w3"])
+    return matmul(gate * up, wl["w2"])
 
 
 def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
-    """x [B, T, D] -> q [B,T,Hq,hd], k,v [B,T,Hkv,hd] (pre-rope)."""
+    """x [B, T, D] -> q [B,T,Hq,hd], k,v [B,T,Hkv,hd] (pre-rope).
+
+    q/k/v projections are separate tensors (not the reference's fused wqkv,
+    Engine/SnapKV/model.py:326) so each output column axis is a clean head
+    axis for GSPMD model-parallel sharding.
+    """
     B, T, _ = x.shape
-    proj = x @ wl["wqkv"]
-    if wl.get("wqkv_bias") is not None:
-        proj = proj + wl["wqkv_bias"]
     hd = cfg.head_dim
-    q_sz = cfg.n_head * hd
-    kv_sz = cfg.n_kv_head * hd
-    q, k, v = jnp.split(proj, [q_sz, q_sz + kv_sz], axis=-1)
+    q = matmul(x, wl["wq"])
+    k = matmul(x, wl["wk"])
+    v = matmul(x, wl["wv"])
+    if wl.get("bq") is not None:
+        q = q + wl["bq"]
+        k = k + wl["bk"]
+        v = v + wl["bv"]
     return (q.reshape(B, T, cfg.n_head, hd),
             k.reshape(B, T, cfg.n_kv_head, hd),
             v.reshape(B, T, cfg.n_kv_head, hd))
@@ -103,7 +118,7 @@ def head_argmax(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray
 
 def head_logits(params: Params, x_normed: jnp.ndarray) -> jnp.ndarray:
     if params.get("lm_head") is not None:
-        return x_normed @ params["lm_head"]
+        return matmul(x_normed, params["lm_head"])
     return x_normed @ params["embed"].T  # tied embeddings (llama-3.2-1b)
 
 
@@ -126,25 +141,32 @@ def _attn_project(x_norm: jnp.ndarray, wl: Params, cfg: ModelConfig,
 
 
 def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-                    caches: Caches, attn_hook_builder, *, return_logits: bool = False):
+                    caches: Caches, attn_hook_builder, *, return_logits: bool = False,
+                    head: str = None):
     """Shared driver: embed -> scan(layers with hook) -> head.
 
     attn_hook_builder(cfg, inv_freq) must return a function
     (x_norm, wl, cache_l) -> (attn_out, new_cache_l).
+    head: 'argmax' (default) | 'logits' | 'none' (returns final hidden states,
+    used by prefill chunks whose logits nobody reads).
     """
+    if head is None:
+        head = "logits" if return_logits else "argmax"
     inv_freq = rope_inv_freq(cfg)
     x = params["embed"][tokens]
     layer_attn = attn_hook_builder(cfg, inv_freq)
     x, new_caches = scan_layers(params, cfg, x, caches, layer_attn)
-    if return_logits:
+    if head == "logits":
         x = rms_norm(x, params["final_norm"], cfg.norm_eps)
         return head_logits(params, x), new_caches
+    if head == "none":
+        return x, new_caches
     return head_argmax(params, cfg, x), new_caches
 
 
 def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                    base_lens: jnp.ndarray, caches: Caches, *,
-                   return_logits: bool = False):
+                   return_logits: bool = False, head: str = None):
     """Decode / verify (without draft refresh) / prefill chunk on a full cache.
 
     tokens [B, T]; base_lens [B] = visible cache length before this call.
@@ -161,12 +183,12 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
             out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
             B, t = x_norm.shape[:2]
-            y = out.reshape(B, t, cfg.n_head * cfg.head_dim) @ wl["wo"]
+            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"k": kc, "v": vc}
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder,
-                           return_logits=return_logits)
+                           return_logits=return_logits, head=head)
 
 
 def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
@@ -190,11 +212,100 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
             out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
             B, t = x_norm.shape[:2]
-            y = out.reshape(B, t, cfg.n_head * cfg.head_dim) @ wl["wo"]
+            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder)
+
+
+def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
+                                tokens: jnp.ndarray, base_lens: jnp.ndarray,
+                                caches: Caches, *, ctx_len: int, window: int,
+                                budget: int, kernel_size: int = 5,
+                                pooling: str = "avgpool"):
+    """Last SnapKV prefill chunk: target append + attention + draft-KV build.
+
+    tokens [B, window] (the reference constrains the last chunk to be exactly
+    the observation window, tests/SnapKV/selfspec_benchmark.py:37-40).
+    ctx_len = static total prefix length after this chunk.
+    caches: {'k','v','dk','dv'}.  The compressed draft set fills draft slots
+    [0, budget); reference Engine/SnapKV/model.py:381-439.
+    """
+    from magicdec_tpu.ops.snapkv import snapkv_compress
+
+    T = tokens.shape[1]
+    pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+
+    def builder(cfg, inv_freq):
+        def hook(x_norm, wl, cache_l):
+            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+            kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
+            out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
+            q_win = q[:, -window:]
+            dk_new, dv_new = snapkv_compress(
+                q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
+                kernel_size=kernel_size, pooling=pooling)
+            dk = cache_l["dk"].at[:, :, :budget].set(dk_new.astype(cache_l["dk"].dtype))
+            dv = cache_l["dv"].at[:, :, :budget].set(dv_new.astype(cache_l["dv"].dtype))
+            B, t = x_norm.shape[:2]
+            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
+            return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
+        return hook
+
+    return forward_generic(params, cfg, tokens, caches, builder)
+
+
+def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
+                                  tokens: jnp.ndarray, fill: jnp.ndarray,
+                                  caches: Caches, *, budget: int, sink: int):
+    """One StreamingLLM draft-prefill chunk (raw-key storage + slot re-rope).
+
+    tokens [B, C]; fill: scalar int32 = min(tokens so far, budget).
+    caches: {'dk','dv'} raw-key draft buffers [L,B,Hkv,Sd,hd].
+    Reference Engine/StreamingLLM/model.py:115-157, 402-419.
+    Returns (final hidden states, caches) — draft prefill logits are unread.
+    """
+    from magicdec_tpu.ops.streamingllm import stream_update_raw
+
+    C = tokens.shape[1]
+    B = tokens.shape[0]
+    vis = jnp.minimum(fill + C, budget)
+    base = jnp.broadcast_to((vis - C)[None], (B,))
+    # q roped at real positions while growing, clamped to the window once full
+    # (reference model.py:409-412)
+    pos_q = base[:, None] + jnp.arange(C, dtype=jnp.int32)[None]
+    slot_pos = jnp.arange(budget, dtype=jnp.int32)
+
+    def builder(cfg, inv_freq):
+        def hook(x_norm, wl, cache_l):
+            q, k, v = _attn_project(x_norm, wl, cfg, pos_q, None, inv_freq)
+            dk, dv, _, _ = stream_update_raw(cache_l["dk"], cache_l["dv"], k, v,
+                                             fill, budget=budget, sink=sink)
+            k_att = apply_rope(jnp.swapaxes(dk[:, :, :budget], 1, 2), slot_pos[None],
+                               inv_freq)  # [B, budget, Hkv, hd] roped at slots
+            k_att = jnp.swapaxes(k_att, 1, 2)
+            out = attn_ops.attend(q, k_att, dv[:, :, :budget], base, causal=True)
+            y = matmul(out.reshape(B, C, cfg.n_head * cfg.head_dim), wl["wo"])
+            return y, {"dk": dk, "dv": dv}
+        return hook
+
+    return forward_generic(params, cfg, tokens, caches, builder, head="none")
+
+
+def streaming_finalize_draft(cfg: ModelConfig, caches: Caches, *, budget: int):
+    """Persist the slot-roped draft cache after the last prefill chunk
+    (reference Engine/StreamingLLM/model.py:155-157)."""
+    inv_freq = rope_inv_freq(cfg)
+    slot_pos = jnp.arange(budget, dtype=jnp.int32)[None]
+
+    def rope_layer(dk_layer):  # [B, Hkv, Sd, hd]
+        roped = apply_rope(jnp.swapaxes(dk_layer[:, :, :budget], 1, 2),
+                           slot_pos, inv_freq)
+        return dk_layer.at[:, :, :budget].set(jnp.swapaxes(roped, 1, 2))
+
+    dk = jax.vmap(rope_layer)(caches["dk"])
+    return {"dk": dk, "dv": caches["dv"]}
 
 
 def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
@@ -216,7 +327,7 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
             out = attn_ops.attend(q, dk, dv, draft_fill, causal=True)
             B, t = x_norm.shape[:2]
-            y = out.reshape(B, t, cfg.n_head * cfg.head_dim) @ wl["wo"]
+            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"dk": dk, "dv": dv}
         return hook
 

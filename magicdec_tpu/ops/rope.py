@@ -42,14 +42,16 @@ def _inv_freq_cached(head_dim: int, rope_base: float, scaling_factor: float,
     elif scaling_factor != 1.0:
         # linear positional interpolation (llama-2-7b-32k style)
         inv_freq = inv_freq / scaling_factor
-    return jnp.asarray(inv_freq, dtype=jnp.float32)
+    # cache numpy, not jnp: a jnp array built inside a trace would leak a tracer
+    return np.asarray(inv_freq, dtype=np.float32)
 
 
 def rope_inv_freq(cfg: ModelConfig) -> jnp.ndarray:
     """Per-frequency inverse wavelengths, shape [head_dim // 2], float32."""
-    return _inv_freq_cached(cfg.head_dim, cfg.rope_base, cfg.rope_scaling_factor,
-                            cfg.low_freq_factor, cfg.high_freq_factor,
-                            cfg.original_max_position_embeddings)
+    return jnp.asarray(_inv_freq_cached(
+        cfg.head_dim, cfg.rope_base, cfg.rope_scaling_factor,
+        cfg.low_freq_factor, cfg.high_freq_factor,
+        cfg.original_max_position_embeddings))
 
 
 def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):

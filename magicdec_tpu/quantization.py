@@ -1,0 +1,150 @@
+"""Weight-only quantization: INT8 and INT4, per-output-channel symmetric.
+
+Capability port of Engine/quantize.py (reference: INT8 only,
+``dynamically_quantize_per_channel`` :7-39 + cast-matmul forward :86-87),
+extended with INT4 per the north-star (BASELINE.json).  A quantized weight is
+a dict leaf ``{"q": int8[..., in, out] (or packed int4), "scale":
+f32[..., out], "bits": ()}`` that the model's ``matmul`` dispatches on; the
+jnp path dequantizes into the matmul (XLA fuses the cast), and
+magicdec_tpu.ops.pallas provides the fused dequant+matmul kernel for the hot
+path.
+
+Activated like the reference via checkpoint-path convention ("int8"/"int4" in
+the name, Engine/utils.py:201-205) or explicitly via ``quantize_params``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+@flax.struct.dataclass
+class QuantizedWeight:
+    """q: int8 [..., in, out] (int4: packed [..., in//2, out]);
+    scale: f32 [..., n_groups, out] where groups tile the contraction axis
+    (n_groups == 1 reproduces the reference's per-output-channel scheme,
+    quantize.py:7-39).  bits/group_size are static so lax.scan over stacked
+    layers carries only the arrays."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+    bits: int = flax.struct.field(pytree_node=False, default=8)
+    group_size: int = flax.struct.field(pytree_node=False, default=0)  # 0 = whole column
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, QuantizedWeight)
+
+
+def quantize_weight(w: jnp.ndarray, bits: int = 8,
+                    group_size: int = None) -> QuantizedWeight:
+    """Symmetric quantization of [..., in, out] weights.
+
+    int8 defaults to per-output-channel scales (reference parity); int4
+    defaults to group-wise scales (group_size=128 when the contraction axis
+    allows, else one group) per the QServe/GPTQ-style recipe — plain
+    per-channel int4 loses ~10% relative error per matmul on gaussian weights.
+    """
+    In = w.shape[-2]
+    if group_size is None:
+        group_size = In
+        if bits == 4:
+            for g in (128, 64, 32):
+                if In % g == 0:
+                    group_size = g
+                    break
+    assert In % group_size == 0
+    G = In // group_size
+    wf = w.astype(jnp.float32)
+    grouped = wf.reshape(*w.shape[:-2], G, group_size, w.shape[-1])
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.max(jnp.abs(grouped), axis=-2, keepdims=True) / qmax
+    scale = jnp.maximum(scale, 1e-10)
+    q = jnp.clip(jnp.round(grouped / scale), -qmax - 1, qmax)
+    q = q.reshape(*w.shape[:-2], In, w.shape[-1]).astype(jnp.int8)
+    if bits == 4:
+        q = pack_int4(q)
+    return QuantizedWeight(q=q, scale=scale[..., 0, :].astype(jnp.float32),
+                           bits=bits, group_size=group_size)
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int8 values in [-8, 7] pairwise along the contraction axis
+    (even rows -> low nibble) into int8 [..., in//2, out]."""
+    assert q.shape[-2] % 2 == 0
+    lo = q[..., 0::2, :] & 0xF
+    hi = q[..., 1::2, :] & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4 -> int8 [..., in, out] with sign extension."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    out = jnp.stack([lo, hi], axis=-2)  # [..., in//2, 2, out]
+    return out.reshape(*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
+
+
+def dequantize_weight(wq: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = wq.q
+    if wq.bits == 4:
+        q = unpack_int4(q)
+    In, out = q.shape[-2], q.shape[-1]
+    G = wq.scale.shape[-2]
+    grouped = q.reshape(*q.shape[:-2], G, In // G, out).astype(jnp.float32)
+    deq = grouped * wq.scale[..., :, None, :]
+    return deq.reshape(*q.shape[:-2], In, out).astype(dtype)
+
+
+def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
+    """x [..., in] @ dequant(wq) — jnp reference path (cast fused by XLA).
+
+    Matches the reference forward ``F.linear(x, w.to(x.dtype)) * scales``
+    (quantize.py:86-87): per-output-channel scaling commutes with the
+    contraction, so scale applies to the output.
+    """
+    q = wq.q
+    if wq.bits == 4:
+        q = unpack_int4(q)
+    In, out = q.shape[-2], q.shape[-1]
+    G = wq.scale.shape[-2]
+    if G == 1:
+        y = x @ q.astype(x.dtype)
+        return y * wq.scale[..., 0, :].astype(x.dtype)
+    # group-wise: contract within groups, scale per group, then sum groups
+    xg = x.reshape(*x.shape[:-1], G, In // G)
+    qg = q.reshape(*q.shape[:-2], G, In // G, out).astype(x.dtype)
+    yg = jnp.einsum("...Gg,Ggo->...Go", xg, qg)
+    return (yg * wq.scale.astype(x.dtype)).sum(axis=-2)
+
+
+def quantize_params(params, bits: int = 8, group_size: int = None):
+    """Quantize every linear layer weight (not embeddings/norms), like the
+    reference's convert_for_runtime swapping all nn.Linear (quantize.py:44-49).
+    """
+    layers = dict(params["layers"])
+    for key in QUANT_KEYS:
+        if layers.get(key) is not None:
+            layers[key] = quantize_weight(layers[key], bits, group_size=group_size)
+    out = dict(params, layers=layers)
+    if params.get("lm_head") is not None:
+        out["lm_head"] = quantize_weight(params["lm_head"], bits,
+                                         group_size=group_size)
+    return out
+
+
+def bits_from_path(path: str):
+    """Checkpoint-name convention (reference Engine/utils.py:201-205)."""
+    if "int8" in str(path):
+        return 8
+    if "int4" in str(path):
+        return 4
+    return None

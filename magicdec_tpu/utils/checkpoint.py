@@ -56,38 +56,28 @@ def params_from_hf_state_dict(state: Mapping[str, Any], cfg: ModelConfig,
         return a.T if transpose else a
 
     L = cfg.n_layer
-    wqkv, wqkv_b, wo, w1, w2, w3, attn_n, ffn_n = [], [], [], [], [], [], [], []
+    cols = {name: [] for name in
+            ("wq", "wk", "wv", "bq", "bk", "bv", "wo", "w1", "w2", "w3",
+             "attn_norm", "ffn_norm")}
     for i in range(L):
-        q = arr(_LAYER_KEYS["q"].format(i=i))
-        k = arr(_LAYER_KEYS["k"].format(i=i))
-        v = arr(_LAYER_KEYS["v"].format(i=i))
-        wqkv.append(np.concatenate([q, k, v], axis=0).T)  # [D, P]
+        cols["wq"].append(arr(_LAYER_KEYS["q"].format(i=i), transpose=True))
+        cols["wk"].append(arr(_LAYER_KEYS["k"].format(i=i), transpose=True))
+        cols["wv"].append(arr(_LAYER_KEYS["v"].format(i=i), transpose=True))
         if cfg.qkv_bias:
-            wqkv_b.append(np.concatenate([
-                arr(_LAYER_KEYS["qb"].format(i=i)),
-                arr(_LAYER_KEYS["kb"].format(i=i)),
-                arr(_LAYER_KEYS["vb"].format(i=i)),
-            ], axis=0))
-        wo.append(arr(_LAYER_KEYS["o"].format(i=i), transpose=True))
-        w1.append(arr(_LAYER_KEYS["w1"].format(i=i), transpose=True))
-        w3.append(arr(_LAYER_KEYS["w3"].format(i=i), transpose=True))
-        w2.append(arr(_LAYER_KEYS["w2"].format(i=i), transpose=True))
-        attn_n.append(arr(_LAYER_KEYS["attn_norm"].format(i=i)))
-        ffn_n.append(arr(_LAYER_KEYS["ffn_norm"].format(i=i)))
+            cols["bq"].append(arr(_LAYER_KEYS["qb"].format(i=i)))
+            cols["bk"].append(arr(_LAYER_KEYS["kb"].format(i=i)))
+            cols["bv"].append(arr(_LAYER_KEYS["vb"].format(i=i)))
+        cols["wo"].append(arr(_LAYER_KEYS["o"].format(i=i), transpose=True))
+        cols["w1"].append(arr(_LAYER_KEYS["w1"].format(i=i), transpose=True))
+        cols["w3"].append(arr(_LAYER_KEYS["w3"].format(i=i), transpose=True))
+        cols["w2"].append(arr(_LAYER_KEYS["w2"].format(i=i), transpose=True))
+        cols["attn_norm"].append(arr(_LAYER_KEYS["attn_norm"].format(i=i)))
+        cols["ffn_norm"].append(arr(_LAYER_KEYS["ffn_norm"].format(i=i)))
 
     def stack(xs):
-        return jnp.asarray(np.stack(xs), dtype=dtype)
+        return jnp.asarray(np.stack(xs), dtype=dtype) if xs else None
 
-    layers = {
-        "wqkv": stack(wqkv),
-        "wqkv_bias": stack(wqkv_b) if cfg.qkv_bias else None,
-        "wo": stack(wo),
-        "w1": stack(w1),
-        "w3": stack(w3),
-        "w2": stack(w2),
-        "attn_norm": stack(attn_n),
-        "ffn_norm": stack(ffn_n),
-    }
+    layers = {name: stack(vals) for name, vals in cols.items()}
 
     embed = jnp.asarray(arr("model.embed_tokens.weight"), dtype=dtype)
     if "lm_head.weight" in state:
@@ -202,5 +192,6 @@ def load_converted(path: str, dtype=None) -> Dict[str, Any]:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = value
-    params["layers"].setdefault("wqkv_bias", None)
+    for name in ("bq", "bk", "bv"):
+        params["layers"].setdefault(name, None)
     return params

@@ -1,0 +1,84 @@
+"""M4 gate: GSPMD tensor-parallel execution on a virtual 8-device CPU mesh
+must produce the same tokens as single-device execution (SURVEY.md §7).
+
+This replaces the reference's untestable NCCL path (SURVEY.md §4: no fake
+distributed backend) with a real multi-device run on the CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu.config import tiny_config
+from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
+from magicdec_tpu.parallel import sharding as S
+from tests.test_spec_parity import _random_params
+
+CFG = tiny_config(vocab_size=128, n_layer=2, n_head=8, n_kv_head=4, dim=64,
+                  intermediate_size=128)
+PARAMS = _random_params(CFG, seed=5)
+
+
+def _ecfg(mode):
+    return EngineConfig(mode=mode, gamma=3, draft_budget=33, max_seq_len=256,
+                        chunk_size=16, window_size=8, sink_size=4, max_gen=16,
+                        eot_ids=(-1,), cache_dtype=jnp.float32)
+
+
+def _prompt(B, prefix, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randint(0, CFG.vocab_size, size=(B, prefix)), jnp.int32)
+
+
+def test_mesh_construction_and_validation():
+    mesh = S.make_mesh(data=2, model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    S.validate_mesh(CFG, mesh)
+    bad = tiny_config(n_head=6, n_kv_head=3, dim=48)
+    with pytest.raises(ValueError):
+        S.validate_mesh(bad, mesh)
+
+
+@pytest.mark.parametrize("mode", ["streamingllm", "snapkv"])
+def test_sharded_spec_matches_single_device(mode):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    B, prefix = 4, 40 if mode == "snapkv" else 48
+    prompt = _prompt(B, prefix)
+
+    ref_engine = SpecEngine(PARAMS, CFG, _ecfg(mode))
+    st = ref_engine.encode(prompt)
+    _, ref_stats = ref_engine.generate(st)
+
+    mesh = S.make_mesh(data=2, model=4)
+    tp_engine = SpecEngine(PARAMS, CFG, _ecfg(mode), mesh=mesh)
+    st = tp_engine.encode(prompt)
+    _, tp_stats = tp_engine.generate(st)
+
+    np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
+                                  np.asarray(tp_stats["output"]))
+    np.testing.assert_array_equal(np.asarray(ref_stats["num_committed"]),
+                                  np.asarray(tp_stats["num_committed"]))
+
+
+def test_sharded_baseline_matches_single_device():
+    B, prefix = 4, 48
+    prompt = _prompt(B, prefix, seed=3)
+    ref_engine = SpecEngine(PARAMS, CFG, _ecfg("streamingllm"))
+    st = ref_engine.encode_baseline(prompt)
+    _, ref = ref_engine.generate_baseline(st, max_new=12)
+
+    mesh = S.make_mesh(data=2, model=4)
+    tp_engine = SpecEngine(PARAMS, CFG, _ecfg("streamingllm"), mesh=mesh)
+    st = tp_engine.encode_baseline(prompt)
+    _, tp = tp_engine.generate_baseline(st, max_new=12)
+    np.testing.assert_array_equal(np.asarray(ref["output"]), np.asarray(tp["output"]))
+
+
+def test_param_shardings_cover_all_leaves():
+    mesh = S.make_mesh(data=2, model=4)
+    sharded = S.shard_params(PARAMS, CFG, mesh)
+    flat, _ = jax.tree.flatten(sharded)
+    for leaf in flat:
+        assert hasattr(leaf, "sharding")

@@ -1,0 +1,120 @@
+"""M2 golden gate (SURVEY.md §7): greedy speculative decoding must reproduce
+greedy autoregressive decoding token-for-token, for both draft-cache variants.
+
+This is the correctness contract the reference only checks by eyeballing
+--printoutput (SURVEY.md §4); here it is an exact test.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from magicdec_tpu.config import tiny_config
+from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
+from magicdec_tpu.models import llama as M
+
+
+def _random_params(cfg, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+
+    def w(*shape, scale=None):
+        scale = scale or (1.0 / np.sqrt(shape[0] if len(shape) > 1 else 1))
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale, dtype)
+
+    L, D, F = cfg.n_layer, cfg.dim, cfg.intermediate_size
+    layers = {
+        "wq": w(L, D, cfg.n_head * cfg.head_dim),
+        "wk": w(L, D, cfg.n_kv_head * cfg.head_dim),
+        "wv": w(L, D, cfg.n_kv_head * cfg.head_dim),
+        "bq": None, "bk": None, "bv": None,
+        "wo": w(L, cfg.n_head * cfg.head_dim, D),
+        "w1": w(L, D, F), "w3": w(L, D, F), "w2": w(L, F, D),
+        "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
+    }
+    return {"embed": w(cfg.vocab_size, D, scale=0.05), "layers": layers,
+            "final_norm": jnp.ones((D,), dtype),
+            "lm_head": w(D, cfg.vocab_size, scale=0.2)}
+
+
+CFG = tiny_config(vocab_size=128, n_layer=2, n_head=4, n_kv_head=2, dim=64,
+                  intermediate_size=128)
+PARAMS = _random_params(CFG)
+
+
+def _engine(mode, prefix, *, budget=33, gamma=3, max_gen=24, window=8):
+    ecfg = EngineConfig(
+        mode=mode, gamma=gamma, draft_budget=budget, max_seq_len=256,
+        chunk_size=16, window_size=window, sink_size=4, max_gen=max_gen,
+        eot_ids=(-1,), cache_dtype=jnp.float32)
+    return SpecEngine(PARAMS, CFG, ecfg)
+
+
+def _prompt(B, prefix, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randint(0, CFG.vocab_size, size=(B, prefix)), jnp.int32)
+
+
+def _baseline_tokens(engine, prompt, n):
+    st = engine.encode_baseline(prompt)
+    st, stats = engine.generate_baseline(st, max_new=n)
+    return np.asarray(stats["output"][:, :n])
+
+
+@pytest.mark.parametrize("mode,prefix", [
+    ("streamingllm", 32),   # prefix < budget: draft cache == full cache
+    ("streamingllm", 96),   # prefix > budget: sink+window eviction active
+    ("snapkv", 40),         # 40 = 2*16 + window(8)
+    ("snapkv", 104),
+])
+def test_spec_matches_autoregressive(mode, prefix):
+    B, max_gen = 2, 24
+    engine = _engine(mode, prefix)
+    prompt = _prompt(B, prefix)
+
+    ref = _baseline_tokens(engine, prompt, max_gen)
+
+    st = engine.encode(prompt)
+    st, stats = engine.generate(st)
+    out = np.asarray(stats["output"])
+    n_committed = np.asarray(stats["num_committed"])
+    # termination is batch-global (reference selfspec:211): only the max is
+    # guaranteed to reach max_gen; every committed token must match greedy AR.
+    assert n_committed.max() >= max_gen, n_committed
+    for b in range(B):
+        n = min(int(n_committed[b]), max_gen)
+        np.testing.assert_array_equal(out[b, :n], ref[b, :n],
+                                      err_msg=f"greedy parity broken for {mode}")
+
+
+def test_streaming_full_acceptance_when_cache_uncompressed():
+    """prefix < budget ⇒ draft attends the identical cache ⇒ accepts all."""
+    B, max_gen, gamma = 2, 24, 3
+    engine = _engine("streamingllm", 32, max_gen=max_gen, gamma=gamma)
+    st = engine.encode(_prompt(B, 32))
+    st, stats = engine.generate(st)
+    # all-accept ⇒ each verify commits gamma+1 tokens
+    assert int(stats["target_steps"]) <= -(-max_gen // (gamma + 1)) + 1
+
+
+def test_acceptance_rate_reasonable_snapkv():
+    B, prefix = 2, 104
+    engine = _engine("snapkv", prefix)
+    st = engine.encode(_prompt(B, prefix))
+    st, stats = engine.generate(st)
+    steps = int(stats["target_steps"])
+    committed = int(np.asarray(stats["num_committed"]).sum())
+    # accepted tokens per target step must be >= 1 by construction
+    assert committed >= steps
+
+
+def test_eot_stops_generation():
+    B, prefix = 2, 32
+    engine = _engine("streamingllm", prefix)
+    st = engine.encode(_prompt(B, prefix))
+    # make every token an EOT: generation must stop after the first window
+    engine_eot = SpecEngine(PARAMS, CFG, engine.ecfg.__class__(
+        **{**engine.ecfg.__dict__, "eot_ids": tuple(range(CFG.vocab_size))}))
+    st = engine_eot.encode(_prompt(B, prefix))
+    st, stats = engine_eot.generate(st)
+    assert int(stats["target_steps"]) == 1
