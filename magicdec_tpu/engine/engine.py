@@ -61,11 +61,13 @@ class SpecEngine:
     are cached per input shape.
     """
 
+    ALLOWED_MODES = ("streamingllm", "snapkv")
+
     def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
-        if ecfg.mode not in ("streamingllm", "snapkv"):
+        if ecfg.mode not in self.ALLOWED_MODES:
             raise ValueError(ecfg.mode)
         self._draft_cap = ecfg.draft_budget + _round_up(ecfg.max_gen + ecfg.gamma + 2, 128)
         self._out_cap = ecfg.max_gen + ecfg.gamma + 2
@@ -85,15 +87,18 @@ class SpecEngine:
     # allocation
     # ------------------------------------------------------------------
 
-    def _cache_shape(self, B: int, S: int):
-        c = self.cfg
+    def _cache_shape(self, B: int, S: int, cfg=None):
+        c = cfg or self.cfg
         return (c.n_layer, B, c.n_kv_head, S, c.head_dim)
+
+    def _draft_cfg(self):
+        return self.cfg
 
     def _zero_caches(self, B: int):
         e, dt = self.ecfg, self.ecfg.cache_dtype
         k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
         v = jnp.zeros_like(k)
-        dk = jnp.zeros(self._cache_shape(B, self._draft_cap), dt)
+        dk = jnp.zeros(self._cache_shape(B, self._draft_cap, self._draft_cfg()), dt)
         dv = jnp.zeros_like(dk)
         if self.mesh is not None:
             k, v, dk, dv = (jax.lax.with_sharding_constraint(x, self._cache_sharding)
@@ -310,24 +315,37 @@ class SpecEngine:
             draft_fill=lambda acc: f0 + acc,
             draft_pos=lambda acc: st.draft_pos + acc)
 
-    def _window_streaming(self, params, st: SpecState) -> SpecState:
-        """StreamingLLM self-spec window (tests/StreamingLLM/selfspec:121-224).
+    def _draft_model(self, params):
+        """(params, cfg) used for draft steps — self-spec shares the target's
+        weights; LongSpecEngine overrides with the standalone draft."""
+        return params, self.cfg
 
-        Drafts at *slot* positions; first draft step consumes the 2-token
-        double buffer (bonus + carried last-draft token after a fully-accepted
-        window); draft-cache advance is capped at gamma."""
+    def _window_streaming(self, params, st: SpecState) -> SpecState:
+        """Double-buffer speculation window.
+
+        Used by StreamingLLM self-spec (tests/StreamingLLM/selfspec:121-224)
+        and by every standalone-draft (longspec) mode
+        (tests/SnapKV/longspec_benchmark.py:157-295): the first draft step
+        consumes the 2-token double buffer (bonus + carried last-draft token
+        after a fully-accepted window); draft-cache advance is capped at gamma.
+        Draft rope positions are draft_fill + delta, where delta = draft_pos -
+        draft_fill stays constant across windows (0 for slot-position caches,
+        prefix - budget for SnapKV-compressed real-position caches)."""
         e, cfg = self.ecfg, self.cfg
+        dparams, dcfg = self._draft_model(params)
         f0 = st.draft_fill
+        delta = st.draft_pos - st.draft_fill
         dcaches = {"dk": st.dk, "dv": st.dv}
 
-        nxt2, dcaches = M.forward_draft(params, cfg, st.db_tokens, f0, f0, dcaches)
+        nxt2, dcaches = M.forward_draft(dparams, dcfg, st.db_tokens, f0,
+                                        f0 + delta, dcaches)
         tok1 = jnp.take_along_axis(nxt2, (st.db_update - 1)[:, None], axis=1)[:, 0]
         fill = f0 + st.db_update
 
         def draft_body(carry, _):
             dk, dv, fill, tok = carry
-            nxt, dc = M.forward_draft(params, cfg, tok[:, None], fill, fill,
-                                      {"dk": dk, "dv": dv})
+            nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill,
+                                      fill + delta, {"dk": dk, "dv": dv})
             nxt = nxt[:, 0]
             return (dc["dk"], dc["dv"], fill + 1, nxt), nxt
 
@@ -343,10 +361,11 @@ class SpecEngine:
         caches = {**caches, "dk": dk, "dv": dv}
 
         gamma = e.gamma
+        fill_after = lambda acc: f0 + st.db_update - 1 + jnp.minimum(acc, gamma)
         return self._finish_window(
             st, tokens_buffer, target_tokens, caches,
-            draft_fill=lambda acc: f0 + st.db_update - 1 + jnp.minimum(acc, gamma),
-            draft_pos=lambda acc: f0 + st.db_update - 1 + jnp.minimum(acc, gamma))
+            draft_fill=fill_after,
+            draft_pos=lambda acc: fill_after(acc) + delta)
 
     # ------------------------------------------------------------------
     # autoregressive baseline (tests/baseline_benchmark.py equivalent)
@@ -423,3 +442,161 @@ class SpecEngine:
                                  num_committed=n)
 
         return jax.jit(gen, donate_argnums=(1,))
+
+
+class LongSpecEngine(SpecEngine):
+    """Standalone-draft speculation (reference execution mode 3,
+    tests/{SnapKV,StreamingLLM}/longspec_benchmark.py): a separate smaller
+    draft checkpoint speculates gamma tokens, optionally over a compressed KV
+    cache; the target verifies gamma+1 tokens against its full cache.
+
+    ``ecfg.mode`` selects the draft cache:
+      - "full":          classic spec decode, draft keeps its entire KV
+                         (reference draft_budget == -1, backend_draft.py:15-21)
+      - "snapkv":        draft prefills its full cache, compresses it via the
+                         observation-window top-k at the last chunk
+      - "streamingllm":  draft prefills straight into a sink+window cache
+                         (model_draft.py:102-144)
+    The decode window is the shared double-buffer path; draft advance is
+    capped at gamma and there is no verify-time refresh (longspec:244-256).
+    """
+
+    ALLOWED_MODES = ("streamingllm", "snapkv", "full")
+
+    def __init__(self, params, cfg: ModelConfig, draft_params,
+                 draft_cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        super().__init__(params, cfg, ecfg, mesh=mesh)
+        if ecfg.mode == "full":
+            self._draft_cap = ecfg.max_seq_len
+        if mesh is not None:
+            from magicdec_tpu.parallel import sharding as S
+            S.validate_mesh(draft_cfg, mesh)
+            self.draft_params = S.shard_params(draft_params, draft_cfg, mesh)
+
+    def _draft_cfg(self):
+        return self.draft_cfg
+
+    def _draft_model(self, params):
+        return self.draft_params, self.draft_cfg
+
+    @functools.lru_cache(maxsize=8)
+    def _generate_fn(self, B: int):
+        e = self.ecfg
+
+        def gen(params, st: SpecState) -> SpecState:
+            max_steps = e.max_gen + 1
+
+            def cond(st):
+                return (~st.done) & (st.target_steps < max_steps)
+
+            # every longspec mode uses the double-buffer window
+            return jax.lax.while_loop(
+                cond, functools.partial(self._window_streaming, params), st)
+
+        return jax.jit(gen, donate_argnums=(1,))
+
+    @functools.lru_cache(maxsize=8)
+    def _encode_fn(self, B: int, prefix: int):
+        e, cfg, dcfg = self.ecfg, self.cfg, self.draft_cfg
+        C = e.chunk_size
+        assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len
+
+        def chunked_prefill(params, mcfg, tokens, caches, *, head_last=False):
+            P = tokens.shape[1]
+            n_full, rem = P // C, P % C
+            lens = jnp.zeros((B,), jnp.int32)
+            x_last = None
+            if n_full:
+                xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+
+                def body(carry, chunk):
+                    caches, lens = carry
+                    x, caches = M.forward_target(params, mcfg, chunk, lens,
+                                                 caches, head="none")
+                    return (caches, lens + C), x[:, -1]
+
+                (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
+                x_last = last_h[-1]
+            if rem:
+                x, caches = M.forward_target(params, mcfg, tokens[:, n_full * C:],
+                                             lens, caches, head="none")
+                lens = lens + rem
+                x_last = x[:, -1]
+            return caches, lens, x_last
+
+        def encode(params_pair, tokens):
+            params, draft_params = params_pair
+            e_ = e
+            dt = e.cache_dtype
+            k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
+            v = jnp.zeros_like(k)
+            caches, lens, x_last = chunked_prefill(params, cfg, tokens,
+                                                   {"k": k, "v": v})
+            token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
+
+            dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
+            dv = jnp.zeros_like(dk)
+            if self.mesh is not None:
+                dk = jax.lax.with_sharding_constraint(dk, self._cache_sharding)
+                dv = jax.lax.with_sharding_constraint(dv, self._cache_sharding)
+
+            if e_.mode == "full":
+                dcaches, dlens, _ = chunked_prefill(draft_params, dcfg, tokens,
+                                                    {"k": dk, "v": dv})
+                dcaches = {"dk": dcaches["k"], "dv": dcaches["v"]}
+                draft_fill = dlens
+                draft_pos = dlens
+            elif e_.mode == "streamingllm":
+                dcaches = {"dk": dk, "dv": dv}
+                n_full, rem = prefix // C, prefix % C
+                fill = jnp.zeros((), jnp.int32)
+                if n_full:
+                    xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+
+                    def body(carry, chunk):
+                        dcaches, fill = carry
+                        _, dcaches = M.forward_streaming_draft_chunk(
+                            draft_params, dcfg, chunk, fill, dcaches,
+                            budget=e_.draft_budget, sink=e_.sink_size)
+                        return (dcaches, jnp.minimum(fill + C, e_.draft_budget)), None
+
+                    (dcaches, fill), _ = jax.lax.scan(body, (dcaches, fill), xs)
+                if rem:
+                    _, dcaches = M.forward_streaming_draft_chunk(
+                        draft_params, dcfg, tokens[:, n_full * C:], fill, dcaches,
+                        budget=e_.draft_budget, sink=e_.sink_size)
+                    fill = jnp.minimum(fill + rem, e_.draft_budget)
+                dcaches = M.streaming_finalize_draft(dcfg, dcaches,
+                                                     budget=e_.draft_budget)
+                draft_fill = jnp.broadcast_to(fill, (B,)).astype(jnp.int32)
+                draft_pos = draft_fill
+            else:  # snapkv-compressed standalone draft
+                assert prefix % C == e_.window_size % C and prefix >= e_.window_size
+                # temporary full draft-model cache, used only to build the
+                # compressed set (reference model_draft.py gen_draft_kv :345)
+                fk = jnp.zeros(self._cache_shape(B, _round_up(prefix, C), dcfg), dt)
+                fv = jnp.zeros_like(fk)
+                full, flens, _ = chunked_prefill(
+                    draft_params, dcfg, tokens[:, :-e_.window_size],
+                    {"k": fk, "v": fv})
+                full = {**full, "dk": dk, "dv": dv}
+                _, full = M.forward_prefill_snapkv_last(
+                    draft_params, dcfg, tokens[:, prefix - e_.window_size:],
+                    flens, full, ctx_len=prefix, window=e_.window_size,
+                    budget=e_.draft_budget, kernel_size=e_.kernel_size,
+                    pooling=e_.pooling)
+                dcaches = {"dk": full["dk"], "dv": full["dv"]}
+                draft_fill = jnp.full((B,), e_.draft_budget, jnp.int32)
+                draft_pos = lens  # real positions
+            caches = {**caches, **dcaches}
+            return self._fresh_state(caches, lens, token0,
+                                     draft_fill=draft_fill, draft_pos=draft_pos)
+
+        fn = jax.jit(encode, out_shardings=self._spec_shardings)
+
+        def call(params, tokens):
+            return fn((params, self.draft_params), tokens)
+
+        return call

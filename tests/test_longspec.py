@@ -1,0 +1,60 @@
+"""Standalone-draft (longspec) golden gates: greedy spec with a *different*
+draft model must still reproduce the target's greedy output exactly, for all
+three draft-cache modes (full / streamingllm / snapkv)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from magicdec_tpu.config import tiny_config
+from magicdec_tpu.engine.engine import EngineConfig, LongSpecEngine, SpecEngine
+from tests.test_spec_parity import CFG, PARAMS, _prompt, _random_params
+
+# smaller draft model (fewer layers/heads), same vocab
+DRAFT_CFG = tiny_config(vocab_size=128, n_layer=1, n_head=4, n_kv_head=2,
+                        dim=32, intermediate_size=64)
+DRAFT_PARAMS = _random_params(DRAFT_CFG, seed=42)
+
+
+def _ecfg(mode, max_gen=20):
+    return EngineConfig(mode=mode, gamma=3, draft_budget=33, max_seq_len=256,
+                        chunk_size=16, window_size=8, sink_size=4,
+                        max_gen=max_gen, eot_ids=(-1,), cache_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("mode,prefix", [
+    ("full", 48),
+    ("streamingllm", 96),
+    ("snapkv", 104),
+])
+def test_longspec_matches_target_autoregressive(mode, prefix):
+    B, max_gen = 2, 20
+    target_only = SpecEngine(PARAMS, CFG, _ecfg("streamingllm"))
+    prompt = _prompt(B, prefix, seed=8)
+    bst = target_only.encode_baseline(prompt)
+    _, bstats = target_only.generate_baseline(bst, max_new=max_gen)
+    ref = np.asarray(bstats["output"][:, :max_gen])
+
+    engine = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, _ecfg(mode))
+    st = engine.encode(prompt)
+    st, stats = engine.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= max_gen, n
+    for b in range(B):
+        m = min(int(n[b]), max_gen)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m],
+                                      err_msg=f"longspec parity broken ({mode})")
+
+
+def test_longspec_full_draft_equals_own_greedy():
+    """With an uncompressed draft cache, the draft's proposals are its own
+    greedy continuation — acceptance then reflects true model agreement."""
+    B, prefix, max_gen = 2, 48, 12
+    engine = LongSpecEngine(PARAMS, CFG, PARAMS, CFG, _ecfg("full", max_gen))
+    # draft == target -> full acceptance -> minimal target steps
+    st = engine.encode(_prompt(B, prefix, seed=2))
+    st, stats = engine.generate(st)
+    gamma = 3
+    assert int(stats["target_steps"]) <= -(-max_gen // (gamma + 1)) + 1
