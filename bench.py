@@ -79,23 +79,24 @@ def main():
 
     def run_spec():
         st = engine.encode(prompt)
-        jax.block_until_ready(st.token0)
+        int(np.asarray(st.token0)[0])  # force completion (block_until_ready
+                                       # does not synchronize through the
+                                       # remote-device relay)
         t0 = time.perf_counter()
         st, stats = engine.generate(st)
-        jax.block_until_ready(st.output)
+        gen_arr = np.asarray(stats["gen_tokens"])
         dt = time.perf_counter() - t0
-        gen = int(np.asarray(stats["gen_tokens"]).sum())
+        gen = int(gen_arr.sum())
         steps = int(stats["target_steps"])
         return gen / dt, gen, steps, dt
 
     def run_baseline():
         st = engine.encode_baseline(prompt)
-        jax.block_until_ready(st.token0)
+        int(np.asarray(st.token0)[0])
         t0 = time.perf_counter()
         st, stats = engine.generate_baseline(st, max_new=args.max_gen)
-        jax.block_until_ready(st.output)
-        dt = time.perf_counter() - t0
         gen = int(np.asarray(stats["gen_tokens"]).sum())
+        dt = time.perf_counter() - t0
         return gen / dt, gen, dt
 
     # warmup (compile), then measure best of iters

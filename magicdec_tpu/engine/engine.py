@@ -52,6 +52,7 @@ class EngineConfig:
     max_gen: int = 80                  # reference stop rule: selfspec:193
     eot_ids: Tuple[int, ...] = (-1,)
     cache_dtype: Any = jnp.bfloat16
+    attn_backend: str = "jnp"          # "jnp" | "flash" (Pallas TPU kernels)
 
 
 class SpecEngine:
@@ -135,14 +136,15 @@ class SpecEngine:
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, cfg, chunk, lens, caches,
-                                                 head="none")
+                                                 head="none", backend=e.attn_backend)
                     return (caches, lens + C), x[:, -1]
 
                 (caches, lens), last_hidden = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_hidden[-1]
             if rem:
                 x, caches = M.forward_target(params, cfg, tokens[:, n_full * C:],
-                                             lens, caches, head="none")
+                                             lens, caches, head="none",
+                                             backend=e.attn_backend)
                 lens = lens + rem
                 x_last = x[:, -1]
             return caches, lens, x_last
@@ -162,7 +164,8 @@ class SpecEngine:
                 toks, caches = M.forward_prefill_snapkv_last(
                     params, cfg, tokens[:, prefix - e.window_size:], lens, caches,
                     ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
-                    kernel_size=e.kernel_size, pooling=e.pooling)
+                    kernel_size=e.kernel_size, pooling=e.pooling,
+                    backend=e.attn_backend)
                 lens = lens + e.window_size
                 token0 = toks[:, -1]
                 return self._fresh_state(caches, lens, token0,
@@ -296,7 +299,8 @@ class SpecEngine:
         def draft_body(carry, _):
             dk, dv, fill, pos, tok = carry
             nxt, dc = M.forward_draft(params, cfg, tok[:, None], fill, pos,
-                                      {"dk": dk, "dv": dv})
+                                      {"dk": dk, "dv": dv},
+                                      backend=e.attn_backend)
             nxt = nxt[:, 0]
             return (dc["dk"], dc["dv"], fill + 1, pos + 1, nxt), nxt
 
@@ -308,7 +312,8 @@ class SpecEngine:
 
         caches = {"k": st.k, "v": st.v, "dk": dk, "dv": dv}
         target_tokens, caches = M.forward_verify_snapkv(
-            params, cfg, tokens_buffer, st.target_lens, f0, caches)
+            params, cfg, tokens_buffer, st.target_lens, f0, caches,
+            backend=e.attn_backend)
 
         return self._finish_window(
             st, tokens_buffer, target_tokens, caches,
@@ -338,14 +343,16 @@ class SpecEngine:
         dcaches = {"dk": st.dk, "dv": st.dv}
 
         nxt2, dcaches = M.forward_draft(dparams, dcfg, st.db_tokens, f0,
-                                        f0 + delta, dcaches)
+                                        f0 + delta, dcaches,
+                                        backend=e.attn_backend)
         tok1 = jnp.take_along_axis(nxt2, (st.db_update - 1)[:, None], axis=1)[:, 0]
         fill = f0 + st.db_update
 
         def draft_body(carry, _):
             dk, dv, fill, tok = carry
             nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill,
-                                      fill + delta, {"dk": dk, "dv": dv})
+                                      fill + delta, {"dk": dk, "dv": dv},
+                                      backend=e.attn_backend)
             nxt = nxt[:, 0]
             return (dc["dk"], dc["dv"], fill + 1, nxt), nxt
 
@@ -357,7 +364,8 @@ class SpecEngine:
 
         caches = {"k": st.k, "v": st.v}
         target_tokens, caches = M.forward_target(
-            params, cfg, tokens_buffer, st.target_lens, caches)
+            params, cfg, tokens_buffer, st.target_lens, caches,
+            backend=e.attn_backend)
         caches = {**caches, "dk": dk, "dv": dv}
 
         gamma = e.gamma
@@ -395,14 +403,15 @@ class SpecEngine:
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, cfg, chunk, lens, caches,
-                                                 head="none")
+                                                 head="none", backend=e.attn_backend)
                     return (caches, lens + C), x[:, -1]
 
                 (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_h[-1]
             if rem:
                 x, caches = M.forward_target(params, cfg, tokens[:, n_full * C:],
-                                             lens, caches, head="none")
+                                             lens, caches, head="none",
+                                             backend=e.attn_backend)
                 lens = lens + rem
                 x_last = x[:, -1]
             token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
@@ -430,7 +439,8 @@ class SpecEngine:
             def body(carry, _):
                 k, v, lens, tok, out, n = carry
                 nxt, caches = M.forward_target(params, cfg, tok[:, None], lens,
-                                               {"k": k, "v": v})
+                                               {"k": k, "v": v},
+                                               backend=self.ecfg.attn_backend)
                 nxt = nxt[:, 0]
                 out = spec_ops.write_at(out, n, nxt)
                 return (caches["k"], caches["v"], lens + 1, nxt, out, n + 1), None
@@ -514,14 +524,16 @@ class LongSpecEngine(SpecEngine):
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, mcfg, chunk, lens,
-                                                 caches, head="none")
+                                                 caches, head="none",
+                                                 backend=e.attn_backend)
                     return (caches, lens + C), x[:, -1]
 
                 (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_h[-1]
             if rem:
                 x, caches = M.forward_target(params, mcfg, tokens[:, n_full * C:],
-                                             lens, caches, head="none")
+                                             lens, caches, head="none",
+                                             backend=e.attn_backend)
                 lens = lens + rem
                 x_last = x[:, -1]
             return caches, lens, x_last
@@ -586,7 +598,7 @@ class LongSpecEngine(SpecEngine):
                     draft_params, dcfg, tokens[:, prefix - e_.window_size:],
                     flens, full, ctx_len=prefix, window=e_.window_size,
                     budget=e_.draft_budget, kernel_size=e_.kernel_size,
-                    pooling=e_.pooling)
+                    pooling=e_.pooling, backend=e_.attn_backend)
                 dcaches = {"dk": full["dk"], "dv": full["dv"]}
                 draft_fill = jnp.full((B,), e_.draft_budget, jnp.int32)
                 draft_pos = lens  # real positions

@@ -166,7 +166,8 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                    base_lens: jnp.ndarray, caches: Caches, *,
-                   return_logits: bool = False, head: str = None):
+                   return_logits: bool = False, head: str = None,
+                   backend: str = "jnp"):
     """Decode / verify (without draft refresh) / prefill chunk on a full cache.
 
     tokens [B, T]; base_lens [B] = visible cache length before this call.
@@ -181,7 +182,7 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         def hook(x_norm, wl, cache_l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
             kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
-            out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
+            out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"k": kc, "v": vc}
@@ -193,7 +194,7 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                           base_lens: jnp.ndarray, draft_fill: jnp.ndarray,
-                          caches: Caches):
+                          caches: Caches, *, backend: str = "jnp"):
     """SnapKV self-spec verify: target attention + dual append.
 
     Appends the (real-position-roped) k,v of the gamma+1 window tokens to BOTH
@@ -210,7 +211,7 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
             kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
             dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
-            out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
+            out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
@@ -223,7 +224,7 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
                                 tokens: jnp.ndarray, base_lens: jnp.ndarray,
                                 caches: Caches, *, ctx_len: int, window: int,
                                 budget: int, kernel_size: int = 5,
-                                pooling: str = "avgpool"):
+                                pooling: str = "avgpool", backend: str = "jnp"):
     """Last SnapKV prefill chunk: target append + attention + draft-KV build.
 
     tokens [B, window] (the reference constrains the last chunk to be exactly
@@ -241,7 +242,7 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
         def hook(x_norm, wl, cache_l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
             kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
-            out = attn_ops.attend(q, kc, vc, base_lens, causal=True)
+            out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
             q_win = q[:, -window:]
             dk_new, dv_new = snapkv_compress(
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
@@ -309,7 +310,8 @@ def streaming_finalize_draft(cfg: ModelConfig, caches: Caches, *, budget: int):
 
 
 def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
-                  draft_fill: jnp.ndarray, rope_pos: jnp.ndarray, caches: Caches):
+                  draft_fill: jnp.ndarray, rope_pos: jnp.ndarray, caches: Caches,
+                  *, backend: str = "jnp"):
     """Draft decode step over the compressed cache.
 
     draft_fill [B]: cache fill (append position & causal base).
@@ -325,7 +327,7 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         def hook(x_norm, wl, cache_l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
             dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
-            out = attn_ops.attend(q, dk, dv, draft_fill, causal=True)
+            out = attn_ops.attend_auto(q, dk, dv, draft_fill, backend=backend)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"dk": dk, "dv": dv}

@@ -53,3 +53,29 @@ def attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache.astype(jnp.float32))
     return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                base_lens: jnp.ndarray, *, backend: str = "jnp") -> jnp.ndarray:
+    """Causal attention with backend dispatch.
+
+    backend "flash": magicdec_tpu.ops.pallas flash kernels (TPU) — decode
+    kernel for small query windows, row-blocked prefill kernel for chunks.
+    Falls back to the jnp oracle when the cache length doesn't tile.
+    """
+    if backend == "flash":
+        S = k_cache.shape[2]
+        T = q.shape[1]
+        block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
+        if block_s is not None:
+            if T <= 16:
+                from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
+                return flash_decode_attend(q, k_cache, v_cache, base_lens,
+                                           block_s=block_s)
+            G = q.shape[2] // k_cache.shape[1]
+            if (G * T) % 128 == 0:
+                from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
+                return flash_prefill_attend(q, k_cache, v_cache, base_lens,
+                                            block_s=block_s,
+                                            block_r=min(512, G * T))
+    return attend(q, k_cache, v_cache, base_lens, causal=True)

@@ -32,10 +32,14 @@ NEG_INF = -1e30
 
 
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
-                   m_scr, l_scr, acc_scr, *, T: int, block_s: int, scale: float):
+                   m_scr, l_scr, acc_scr, *, T: int, block_s: int, scale: float,
+                   n_kv: int):
+    """grid (B, S/block_s); the KV-head loop is unrolled inside the kernel so
+    each grid step moves n_kv * 2 * block_s * hd bytes — big enough that DMA,
+    not per-step pipeline overhead, sets the pace."""
     b = pl.program_id(0)
-    j = pl.program_id(2)
-    nblocks = pl.num_programs(2)
+    j = pl.program_id(1)
+    nblocks = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
@@ -45,32 +49,37 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     base = lens_ref[b]  # visible prefix length (before the T new tokens)
     start = j * block_s
+    GT = q_ref.shape[2]
 
     @pl.when(start < base + T)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [GT, hd]
-        k = k_ref[0, 0].astype(jnp.float32)          # [BS, hd]
-        v = v_ref[0, 0].astype(jnp.float32)          # [BS, hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        GT = q.shape[0]
         col = start + jax.lax.broadcasted_iota(jnp.int32, (GT, block_s), 1)
         row_t = jax.lax.broadcasted_iota(jnp.int32, (GT, block_s), 0) % T
-        s = jnp.where(col < base + row_t + 1, s, NEG_INF)
+        visible = col < base + row_t + 1
+        for h in range(n_kv):
+            # keep native dtype into the MXU (bf16 inputs, fp32 accumulate);
+            # casting to fp32 first would quadruple the MXU passes
+            q = q_ref[0, h]                               # [GT, hd]
+            k = k_ref[0, h]                               # [BS, hd]
+            v = v_ref[0, h]                               # [BS, hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(visible, s, NEG_INF)
 
-        m_prev = m_scr[:]                             # [GT, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                        # [GT, BS]
-        corr = jnp.exp(m_prev - m_new)                # [GT, 1]
-        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_scr[:] = m_new
+            m_prev = m_scr[h]                             # [GT, 1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)                        # [GT, BS] fp32
+            corr = jnp.exp(m_prev - m_new)                # [GT, 1]
+            l_scr[h] = l_scr[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[h] = m_new
 
     @pl.when(j == nblocks - 1)
     def _finish():
-        o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
@@ -93,32 +102,35 @@ def flash_decode_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
     qg = q.reshape(B, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, GT, hd)
     lens = base_lens.astype(jnp.int32)
 
-    def q_map(b, h, j, lens_ref):
-        return (b, h, 0, 0)
+    def q_map(b, j, lens_ref):
+        return (b, 0, 0, 0)
 
-    def kv_map(b, h, j, lens_ref):
+    def kv_map(b, j, lens_ref):
         # clamp to the last visible block: repeated indices are fetched once
         last = jnp.maximum(lens_ref[b] + T - 1, 0) // block_s
-        return (b, h, jnp.minimum(j, last), 0)
+        return (b, 0, jnp.minimum(j, last), 0)
+
+    def o_map(b, j, lens_ref):
+        return (b, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, nblocks),
+        grid=(B, nblocks),
         in_specs=[
-            pl.BlockSpec((1, 1, GT, hd), q_map),
-            pl.BlockSpec((1, 1, block_s, hd), kv_map),
-            pl.BlockSpec((1, 1, block_s, hd), kv_map),
+            pl.BlockSpec((1, Hkv, GT, hd), q_map),
+            pl.BlockSpec((1, Hkv, block_s, hd), kv_map),
+            pl.BlockSpec((1, Hkv, block_s, hd), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, GT, hd), q_map),
+        out_specs=pl.BlockSpec((1, Hkv, GT, hd), o_map),
         scratch_shapes=[
-            pltpu.VMEM((GT, 1), jnp.float32),
-            pltpu.VMEM((GT, 1), jnp.float32),
-            pltpu.VMEM((GT, hd), jnp.float32),
+            pltpu.VMEM((Hkv, GT, 1), jnp.float32),
+            pltpu.VMEM((Hkv, GT, 1), jnp.float32),
+            pltpu.VMEM((Hkv, GT, hd), jnp.float32),
         ],
     )
 
     kernel = functools.partial(_decode_kernel, T=T, block_s=block_s,
-                               scale=1.0 / (hd ** 0.5))
+                               scale=1.0 / (hd ** 0.5), n_kv=Hkv)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
