@@ -1,0 +1,113 @@
+"""Shared driver plumbing for the benchmark CLIs (reference L5 layer,
+SURVEY.md §1: tests/baseline_benchmark.py + {SnapKV,StreamingLLM}/
+{selfspec,longspec}_benchmark.py)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", type=str, default="llama-3.2-1b",
+                   help="config name or converted-checkpoint .npz path")
+    p.add_argument("--model_name", type=str, default=None,
+                   help="HF tokenizer name (optional; synthetic data if unset)")
+    p.add_argument("--dataset", type=str, default="pg19")
+    p.add_argument("--B", type=int, default=8)
+    p.add_argument("--prefix_len", type=int, default=4000)
+    p.add_argument("--max_len", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--printoutput", action="store_true")
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="mesh data axis (reference: torchrun world split)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="mesh model axis (reference: --rank_group TP width)")
+    p.add_argument("--compile", action="store_true",
+                   help="accepted for reference-CLI parity; jit is always on")
+    return p
+
+
+def load_params_and_config(model: str, dtype=jnp.bfloat16):
+    """Checkpoint path (.npz from convert_hf_checkpoint) or config name with
+    synthetic weights (zero-egress default)."""
+    from magicdec_tpu.config import ModelConfig
+    from magicdec_tpu import quantization as Q
+
+    if str(model).endswith(".npz"):
+        from magicdec_tpu.utils.checkpoint import load_converted
+
+        cfg = ModelConfig.from_name(str(model))
+        params = load_converted(str(model), dtype=dtype)
+        bits = Q.bits_from_path(str(model))
+        if bits:
+            params = Q.quantize_params(params, bits=bits)
+        return params, cfg
+    cfg = ModelConfig.from_name(model)
+    from bench import make_params
+
+    return make_params(cfg, dtype=dtype), cfg
+
+
+def make_mesh_or_none(data: int, model: int):
+    if data * model <= 1:
+        return None
+    from magicdec_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(data=data, model=model)
+
+
+def load_dataset(args, vocab_size: int) -> np.ndarray:
+    from magicdec_tpu.data import datasets as D
+
+    tok = None
+    if args.model_name:
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(args.model_name)
+        except Exception as e:
+            print(f"[driver] tokenizer unavailable ({e}); synthetic corpus",
+                  file=sys.stderr)
+    if tok is None:
+        return D.synthetic_long_context_dataset(
+            args.prefix_len, num_seqs=max(args.B * 2, 16),
+            vocab_size=vocab_size, seed=args.seed)
+    if args.dataset == "pg19":
+        return D.convert_pg19_dataset(tok, args.prefix_len)
+    if args.dataset == "c4":
+        return D.convert_c4_dataset(tok, args.prefix_len)
+    raise ValueError(args.dataset)
+
+
+def eot_ids_for(args, cfg) -> tuple:
+    # reference: eos + unk/<|eot_id|> (selfspec:78-83); synthetic data cannot
+    # hit them meaningfully, so default to a never-matching id
+    return (-1,)
+
+
+def force(x):
+    """Synchronize through the async device relay (block_until_ready is not
+    sufficient over remote transports): tiny host readback."""
+    arr = np.asarray(jax.tree.leaves(x)[0]).ravel()
+    return arr[:1]
+
+
+class Timer:
+    def __init__(self):
+        self.t = 0.0
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        self.t += time.perf_counter() - self.t0

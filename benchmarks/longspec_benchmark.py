@@ -1,0 +1,83 @@
+"""Standalone-draft speculation driver (reference tests/{SnapKV,StreamingLLM}/
+longspec_benchmark.py unified).
+
+--draft_budget -1 selects the uncompressed draft cache (classic spec decode,
+reference SnapKV/backend_draft.py:15-21); otherwise --mode picks the
+compression scheme.  The reference's draft sub-mesh (--draft_rank_group) maps
+to running the draft TP over the same single-controller mesh; a dedicated
+draft sub-mesh is a planned extension.
+
+Example (reference README.md:69 shape):
+  python benchmarks/longspec_benchmark.py --model llama-3.1-8b \
+      --draft_model llama-3.2-1b --B 64 --prefix_len 16032 --max_len 16128 \
+      --draft_budget 257 --gamma 3 --mode snapkv
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax.numpy as jnp
+
+from benchmarks import common
+
+
+def main():
+    p = common.add_common_args(argparse.ArgumentParser())
+    p.add_argument("--draft_model", type=str, default="llama-3.2-1b")
+    p.add_argument("--mode", default="streamingllm",
+                   choices=["streamingllm", "snapkv"])
+    p.add_argument("--gamma", type=int, default=3)
+    p.add_argument("--draft_budget", type=int, default=257)
+    p.add_argument("--max_gen", type=int, default=80)
+    p.add_argument("--num_batches", type=int, default=4)
+    p.add_argument("--warmup_batches", type=int, default=2)
+    args = p.parse_args()
+
+    from magicdec_tpu.engine.engine import EngineConfig, LongSpecEngine
+    from magicdec_tpu.utils.seeding import setup_seed
+
+    setup_seed(args.seed)
+    params, cfg = common.load_params_and_config(args.model)
+    dparams, dcfg = common.load_params_and_config(args.draft_model)
+    mode = "full" if args.draft_budget == -1 else args.mode
+    budget = 257 if args.draft_budget == -1 else args.draft_budget
+    mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
+    ecfg = EngineConfig(mode=mode, gamma=args.gamma, draft_budget=budget,
+                        max_seq_len=args.max_len, max_gen=args.max_gen,
+                        eot_ids=common.eot_ids_for(args, cfg))
+    engine = LongSpecEngine(params, cfg, dparams, dcfg, ecfg, mesh=mesh)
+
+    data = common.load_dataset(args, min(cfg.vocab_size, dcfg.vocab_size))
+    total_time, total_tokens, total_steps = 0.0, 0, 0
+    from magicdec_tpu.data.datasets import batch_iterator
+
+    for i, batch in enumerate(batch_iterator(data[: args.num_batches * args.B],
+                                             args.B)):
+        prompt = jnp.asarray(batch[:, : args.prefix_len], jnp.int32)
+        st = engine.encode(prompt)
+        common.force(st.token0)
+        with common.Timer() as t:
+            st, stats = engine.generate(st)
+            gen = int(np.asarray(stats["gen_tokens"]).sum())
+        steps = int(stats["target_steps"])
+        if i >= args.warmup_batches:
+            total_time += t.t
+            total_tokens += gen
+            total_steps += steps
+        print(f"[batch {i}] {gen} tok, {steps} target steps, {t.t:.3f}s "
+              f"({gen / t.t:.1f} tok/s)"
+              f"{' [warmup]' if i < args.warmup_batches else ''}",
+              file=sys.stderr)
+
+    if total_time > 0:
+        print("total time :{:.5f}s, time per iter :{:.5f}s, decoding step: {}, "
+              "large model step: {}".format(total_time, total_time / total_steps,
+                                            total_tokens, total_steps))
+        print(f"Final tokens per second :{total_tokens / total_time:.2f}")
+
+
+if __name__ == "__main__":
+    main()
