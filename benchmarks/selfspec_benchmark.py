@@ -77,6 +77,18 @@ def main():
                                             total_tokens, total_steps))
         print(f"Final tokens per second :{total_tokens / total_time:.2f}")
 
+    if args.benchmark:
+        # per-phase timing (reference selfspec:221-223 prints target/draft/
+        # verify-loop averages)
+        from magicdec_tpu.engine.profiling import time_phases
+
+        st = engine.encode(jnp.asarray(data[: args.B, : args.prefix_len], jnp.int32))
+        phases = time_phases(engine, st)
+        print("target time :{:.5f}s, draft time :{:.5f}s (per step); "
+              "est window: {:.5f}s".format(phases["verify_step_ms"] / 1e3,
+                                           phases["draft_step_ms"] / 1e3,
+                                           phases["window_ms_est"] / 1e3))
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,74 @@
+"""Per-phase timing for the speculation loop (reference --benchmark mode:
+tests/SnapKV/selfspec_benchmark.py:118-143 wraps draft/verify phases in
+cuda-synchronized timers; its backend re-runs single steps without advancing
+state via benchmark=True, backend.py:140-144).
+
+Because the engine's production loop is one fused XLA program, phases are
+timed here by running isolated jitted step functions chained on-device N times
+(a read-back forces completion — plain block_until_ready does not synchronize
+through remote-device relays)."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from magicdec_tpu.models import llama as M
+
+
+def _chain(fn, init, n):
+    @jax.jit
+    def run(x, *args):
+        return jax.lax.fori_loop(0, n, lambda i, x: fn(x, *args), x)
+
+    def timed(*args):
+        r = run(*args)
+        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])  # warm
+        t0 = time.perf_counter()
+        r = run(*args)
+        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        return (time.perf_counter() - t0 - 0.03) / n
+
+    return timed
+
+
+def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
+    """Milliseconds per single draft step, verify step, and baseline decode
+    step at the current state's lengths.  State is not modified."""
+    cfg = engine.cfg
+    e = engine.ecfg
+    dparams, dcfg = engine._draft_model(engine.params)
+    tok = state.token0[:, None]
+
+    def draft_step(tok, dk, dv, fill, pos):
+        nxt, _ = M.forward_draft(dparams, dcfg, tok, fill, pos,
+                                 {"dk": dk, "dv": dv}, backend=e.attn_backend)
+        return nxt
+
+    def verify_step(buf, k, v, lens):
+        out, _ = M.forward_target(engine.params, cfg, buf, lens, {"k": k, "v": v},
+                                  backend=e.attn_backend)
+        return out
+
+    def baseline_step(tok, k, v, lens):
+        out, _ = M.forward_target(engine.params, cfg, tok, lens, {"k": k, "v": v},
+                                  backend=e.attn_backend)
+        return out
+
+    buf = jnp.tile(tok, (1, e.gamma + 1))
+    results = {
+        "draft_step_ms": _chain(draft_step, None, iters)(
+            tok, state.dk, state.dv, state.draft_fill, state.draft_pos) * 1e3,
+        "verify_step_ms": _chain(verify_step, None, iters)(
+            buf, state.k, state.v, state.target_lens) * 1e3,
+        "baseline_step_ms": _chain(baseline_step, None, iters)(
+            tok, state.k, state.v, state.target_lens) * 1e3,
+    }
+    g = e.gamma
+    results["window_ms_est"] = results["draft_step_ms"] * g + results["verify_step_ms"]
+    return results
