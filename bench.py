@@ -56,7 +56,7 @@ def main():
     p.add_argument("--draft_budget", type=int, default=513)
     p.add_argument("--mode", default="streamingllm", choices=["streamingllm", "snapkv"])
     p.add_argument("--max_gen", type=int, default=80)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--iters", type=int, default=1)
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from magicdec_tpu.models import llama as M
 
 
-def _chain(fn, init, n):
+def _chain(fn, n):
+    """fn(x, *args) -> x'; every array (params included) must be an explicit
+    argument — anything closed over becomes a baked-in jit constant and gets
+    re-uploaded per compile."""
     @jax.jit
     def run(x, *args):
         return jax.lax.fori_loop(0, n, lambda i, x: fn(x, *args), x)
@@ -45,29 +48,30 @@ def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
     dparams, dcfg = engine._draft_model(engine.params)
     tok = state.token0[:, None]
 
-    def draft_step(tok, dk, dv, fill, pos):
+    def draft_step(tok, dparams, dk, dv, fill, pos):
         nxt, _ = M.forward_draft(dparams, dcfg, tok, fill, pos,
                                  {"dk": dk, "dv": dv}, backend=e.attn_backend)
         return nxt
 
-    def verify_step(buf, k, v, lens):
-        out, _ = M.forward_target(engine.params, cfg, buf, lens, {"k": k, "v": v},
+    def verify_step(buf, params, k, v, lens):
+        out, _ = M.forward_target(params, cfg, buf, lens, {"k": k, "v": v},
                                   backend=e.attn_backend)
         return out
 
-    def baseline_step(tok, k, v, lens):
-        out, _ = M.forward_target(engine.params, cfg, tok, lens, {"k": k, "v": v},
+    def baseline_step(tok, params, k, v, lens):
+        out, _ = M.forward_target(params, cfg, tok, lens, {"k": k, "v": v},
                                   backend=e.attn_backend)
         return out
 
     buf = jnp.tile(tok, (1, e.gamma + 1))
     results = {
-        "draft_step_ms": _chain(draft_step, None, iters)(
-            tok, state.dk, state.dv, state.draft_fill, state.draft_pos) * 1e3,
-        "verify_step_ms": _chain(verify_step, None, iters)(
-            buf, state.k, state.v, state.target_lens) * 1e3,
-        "baseline_step_ms": _chain(baseline_step, None, iters)(
-            tok, state.k, state.v, state.target_lens) * 1e3,
+        "draft_step_ms": _chain(draft_step, iters)(
+            tok, dparams, state.dk, state.dv, state.draft_fill,
+            state.draft_pos) * 1e3,
+        "verify_step_ms": _chain(verify_step, iters)(
+            buf, engine.params, state.k, state.v, state.target_lens) * 1e3,
+        "baseline_step_ms": _chain(baseline_step, iters)(
+            tok, engine.params, state.k, state.v, state.target_lens) * 1e3,
     }
     g = e.gamma
     results["window_ms_est"] = results["draft_step_ms"] * g + results["verify_step_ms"]
