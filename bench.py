@@ -57,6 +57,8 @@ def main():
     p.add_argument("--mode", default="streamingllm", choices=["streamingllm", "snapkv"])
     p.add_argument("--max_gen", type=int, default=80)
     p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--prefill_chunk", type=int, default=512)
+    p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -69,9 +71,10 @@ def main():
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
     ecfg = EngineConfig(
         mode=args.mode, gamma=args.gamma, draft_budget=args.draft_budget,
-        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 127) // 128) * 128,
-        chunk_size=128, max_gen=args.max_gen, eot_ids=(-1,),
-        cache_dtype=jnp.bfloat16)
+        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 511) // 512) * 512,
+        chunk_size=128, prefill_chunk_size=args.prefill_chunk,
+        max_gen=args.max_gen, eot_ids=(-1,),
+        cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend)
     engine = SpecEngine(params, cfg, ecfg)
 
     rng = np.random.RandomState(0)

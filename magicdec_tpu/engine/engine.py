@@ -44,7 +44,9 @@ class EngineConfig:
     gamma: int = 3
     draft_budget: int = 257            # reference constraint: budget % 128 == 1
     max_seq_len: int = 2048
-    chunk_size: int = 128
+    chunk_size: int = 128              # draft-eviction granularity (reference)
+    prefill_chunk_size: int = 0        # target prefill chunk (0 = chunk_size);
+                                       # larger chunks feed the MXU better
     window_size: int = 32              # snapkv observation window
     sink_size: int = 16                # streamingllm attention sink
     kernel_size: int = 5               # snapkv pooling kernel
@@ -120,6 +122,7 @@ class SpecEngine:
     def _encode_fn(self, B: int, prefix: int):
         e, cfg = self.ecfg, self.cfg
         C = e.chunk_size
+        Cp = e.prefill_chunk_size or e.chunk_size
         assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
             "max_seq_len too small for prefix + generation"
 
@@ -127,17 +130,17 @@ class SpecEngine:
             """Chunked target prefill over tokens [B, P]; returns
             (caches, lens, last hidden state [B, D])."""
             P = tokens.shape[1]
-            n_full, rem = P // C, P % C
+            n_full, rem = P // Cp, P % Cp
             lens = jnp.zeros((B,), jnp.int32)
             x_last = None
             if n_full:
-                xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+                xs = jnp.moveaxis(tokens[:, :n_full * Cp].reshape(B, n_full, Cp), 1, 0)
 
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, cfg, chunk, lens, caches,
                                                  head="none", backend=e.attn_backend)
-                    return (caches, lens + C), x[:, -1]
+                    return (caches, lens + Cp), x[:, -1]
 
                 (caches, lens), last_hidden = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_hidden[-1]
@@ -387,7 +390,7 @@ class SpecEngine:
     @functools.lru_cache(maxsize=8)
     def _encode_baseline_fn(self, B: int, prefix: int):
         e, cfg = self.ecfg, self.cfg
-        C = e.chunk_size
+        C = e.prefill_chunk_size or e.chunk_size
 
         def encode(params, tokens):
             dt = e.cache_dtype
@@ -511,22 +514,23 @@ class LongSpecEngine(SpecEngine):
     def _encode_fn(self, B: int, prefix: int):
         e, cfg, dcfg = self.ecfg, self.cfg, self.draft_cfg
         C = e.chunk_size
+        Cp = e.prefill_chunk_size or e.chunk_size
         assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len
 
         def chunked_prefill(params, mcfg, tokens, caches, *, head_last=False):
             P = tokens.shape[1]
-            n_full, rem = P // C, P % C
+            n_full, rem = P // Cp, P % Cp
             lens = jnp.zeros((B,), jnp.int32)
             x_last = None
             if n_full:
-                xs = jnp.moveaxis(tokens[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+                xs = jnp.moveaxis(tokens[:, :n_full * Cp].reshape(B, n_full, Cp), 1, 0)
 
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, mcfg, chunk, lens,
                                                  caches, head="none",
                                                  backend=e.attn_backend)
-                    return (caches, lens + C), x[:, -1]
+                    return (caches, lens + Cp), x[:, -1]
 
                 (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_h[-1]

@@ -118,3 +118,16 @@ def test_eot_stops_generation():
     st = engine_eot.encode(_prompt(B, prefix))
     st, stats = engine_eot.generate(st)
     assert int(stats["target_steps"]) == 1
+
+
+def test_prefill_chunk_size_invariance():
+    """Generation must not depend on the prefill chunking (fp32, CPU)."""
+    import dataclasses
+    B, prefix, max_gen = 2, 96, 12
+    eng_small = _engine("streamingllm", prefix, max_gen=max_gen)
+    eng_big = SpecEngine(PARAMS, CFG, dataclasses.replace(
+        eng_small.ecfg, prefill_chunk_size=48))
+    prompt = _prompt(B, prefix, seed=6)
+    ref = _baseline_tokens(eng_small, prompt, max_gen)
+    out = _baseline_tokens(eng_big, prompt, max_gen)
+    np.testing.assert_array_equal(ref, out)
