@@ -91,8 +91,10 @@ class SpecEngine:
     # ------------------------------------------------------------------
 
     def _cache_shape(self, B: int, S: int, cfg=None):
+        # [L, B, S, Hkv*hd]: head axis folded minor so hd=64 models tile
+        # without 2x lane padding (ops/kv_cache.py)
         c = cfg or self.cfg
-        return (c.n_layer, B, c.n_kv_head, S, c.head_dim)
+        return (c.n_layer, B, S, c.n_kv_head * c.head_dim)
 
     def _draft_cfg(self):
         return self.cfg

@@ -263,8 +263,11 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
             dk_new, dv_new = snapkv_compress(
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
                 kernel_size=kernel_size, pooling=pooling)
-            dk = cache_l["dk"].at[:, :, :budget].set(dk_new.astype(cache_l["dk"].dtype))
-            dv = cache_l["dv"].at[:, :, :budget].set(dv_new.astype(cache_l["dv"].dtype))
+            Bq = q_win.shape[0]
+            dk = cache_l["dk"].at[:, :budget].set(
+                dk_new.reshape(Bq, budget, -1).astype(cache_l["dk"].dtype))
+            dv = cache_l["dv"].at[:, :budget].set(
+                dv_new.reshape(Bq, budget, -1).astype(cache_l["dv"].dtype))
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
@@ -299,10 +302,12 @@ def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
             q, k, v = _attn_project(x_norm, wl, cfg, pos_q, None, inv_freq)
             dk, dv, _, _ = stream_update_raw(cache_l["dk"], cache_l["dv"], k, v,
                                              fill, budget=budget, sink=sink)
-            k_att = apply_rope(jnp.swapaxes(dk[:, :, :budget], 1, 2), slot_pos[None],
-                               inv_freq)  # [B, budget, Hkv, hd] roped at slots
-            k_att = jnp.swapaxes(k_att, 1, 2)
-            out = attn_ops.attend(q, k_att, dv[:, :, :budget], base, causal=True)
+            hd = cfg.head_dim
+            kv_heads = dk.shape[2] // hd
+            k_att = apply_rope(dk[:, :budget].reshape(B, budget, kv_heads, hd),
+                               slot_pos[None], inv_freq)  # roped at slot positions
+            out = attn_ops.attend(q, k_att.reshape(B, budget, -1),
+                                  dv[:, :budget], base, causal=True)
             y = matmul(out.reshape(B, C, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, {"dk": dk, "dv": dv}
         return hook
@@ -315,11 +320,14 @@ def streaming_finalize_draft(cfg: ModelConfig, caches: Caches, *, budget: int):
     (reference Engine/StreamingLLM/model.py:155-157)."""
     inv_freq = rope_inv_freq(cfg)
     slot_pos = jnp.arange(budget, dtype=jnp.int32)[None]
+    hd = cfg.head_dim
 
-    def rope_layer(dk_layer):  # [B, Hkv, Sd, hd]
-        roped = apply_rope(jnp.swapaxes(dk_layer[:, :, :budget], 1, 2),
+    def rope_layer(dk_layer):  # [B, Sd, Hkv*hd]
+        B, _, K = dk_layer.shape
+        roped = apply_rope(dk_layer[:, :budget].reshape(B, budget, K // hd, hd),
                            slot_pos, inv_freq)
-        return dk_layer.at[:, :, :budget].set(jnp.swapaxes(roped, 1, 2))
+        return dk_layer.at[:, :budget].set(
+            roped.reshape(B, budget, K).astype(dk_layer.dtype))
 
     dk = jax.vmap(rope_layer)(caches["dk"])
     return {"dk": dk, "dv": caches["dv"]}

@@ -23,22 +23,25 @@ def attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     """Multi-token decode / verify / chunked-prefill attention.
 
     q:        [B, T, H_q, D]   (T = 1 decode, gamma+1 verify, chunk prefill)
-    k_cache:  [B, H_kv, S, D]  (already contains the T new tokens)
-    v_cache:  [B, H_kv, S, D]
+    k_cache:  [B, S, H_kv*D]   (already contains the T new tokens; head axis
+                                folded minor — see ops.kv_cache)
+    v_cache:  [B, S, H_kv*D]
     base_lens:[B] int32 — visible KV length *before* the T new tokens.
               Query row t attends cache slots [0, base_lens + t + 1) when causal,
               else [0, base_lens + T).
     Returns:  [B, T, H_q, D] in q.dtype.
     """
     B, T, Hq, D = q.shape
-    Hkv = k_cache.shape[1]
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2] // D
     G = Hq // Hkv
-    S = k_cache.shape[2]
+    kh = k_cache.reshape(B, S, Hkv, D)
+    vh = v_cache.reshape(B, S, Hkv, D)
 
     qg = q.reshape(B, T, Hkv, G, D)
     # scores: [B, Hkv, G, T, S]
-    scores = jnp.einsum("btkgd,bksd->bkgts", qg.astype(jnp.float32),
-                        k_cache.astype(jnp.float32))
+    scores = jnp.einsum("btkgd,bskd->bkgts", qg.astype(jnp.float32),
+                        kh.astype(jnp.float32))
     scores = scores * (1.0 / jnp.sqrt(D).astype(jnp.float32))
 
     col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
@@ -51,7 +54,7 @@ def attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgts,bksd->btkgd", probs, v_cache.astype(jnp.float32))
+    out = jnp.einsum("bkgts,bskd->btkgd", probs, vh.astype(jnp.float32))
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
@@ -64,7 +67,7 @@ def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     Falls back to the jnp oracle when the cache length doesn't tile.
     """
     if backend == "flash":
-        S = k_cache.shape[2]
+        S = k_cache.shape[1]
         T = q.shape[1]
         block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
         if block_s is not None:
@@ -72,7 +75,7 @@ def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                 from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
                 return flash_decode_attend(q, k_cache, v_cache, base_lens,
                                            block_s=block_s)
-            G = q.shape[2] // k_cache.shape[1]
+            G = q.shape[2] * q.shape[3] // k_cache.shape[2]
             if (G * T) % 128 == 0:
                 from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
                 return flash_prefill_attend(q, k_cache, v_cache, base_lens,

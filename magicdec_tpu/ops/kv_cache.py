@@ -8,8 +8,12 @@ an int32 length vector.  All "rollback" in speculative decoding is length
 arithmetic (tests/SnapKV/selfspec_benchmark.py:164-181); slots past the length
 are garbage and masked out of attention, exactly as in the reference.
 
-Cache layout per layer: ``[B, H_kv, S_max, D]`` — contiguous (S, D) tiles per
-(batch, head), the natural layout for a flash-style TPU decode kernel.
+Cache layout per layer: ``[B, S_max, H_kv * head_dim]`` — the head axis is
+folded into the minor (lane) dimension so the array tiles exactly on TPU.
+Keeping head_dim (64 for llama-3.2-1b) minor instead would be padded 2x to the
+128-lane tile: +100% HBM and bandwidth (measured: OOM at B=32/8k on v5e).
+Appends are also transpose-free in this layout (the kv projection emits
+[B, T, H_kv*head_dim] directly).
 """
 
 from __future__ import annotations
@@ -18,37 +22,47 @@ import jax
 import jax.numpy as jnp
 
 
+def heads_view(cache: jnp.ndarray, n_kv: int) -> jnp.ndarray:
+    """[B, S, H*hd] -> [B, S, H, hd] (free reshape: contiguous lane split)."""
+    B, S, K = cache.shape
+    return cache.reshape(B, S, n_kv, K // n_kv)
+
+
 def append_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray,
               k_new: jnp.ndarray, v_new: jnp.ndarray,
               write_pos: jnp.ndarray):
     """Append T new tokens per request at per-request positions.
 
-    k_cache/v_cache: [B, H_kv, S, D];  k_new/v_new: [B, T, H_kv, D];
+    k_cache/v_cache: [B, S, H_kv*hd];  k_new/v_new: [B, T, H_kv, hd];
     write_pos: [B] int32 — the first slot to write for each request.
     Returns updated (k_cache, v_cache).
 
     Equivalent of flashinfer ``append_paged_kv_cache`` (Engine/utils.py:31-66)
     for the contiguous layout.  Implemented as a vmapped dynamic_update_slice,
-    which XLA lowers to an in-place scatter when the caller donates the cache.
+    which XLA lowers to an in-place update when the caller owns the buffer.
     """
-    k_new = jnp.swapaxes(k_new, 1, 2).astype(k_cache.dtype)  # [B, H_kv, T, D]
-    v_new = jnp.swapaxes(v_new, 1, 2).astype(v_cache.dtype)
+    B, T = k_new.shape[:2]
+    k_new = k_new.reshape(B, T, -1).astype(k_cache.dtype)
+    v_new = v_new.reshape(B, T, -1).astype(v_cache.dtype)
 
     def _upd(cache_b, new_b, pos_b):
-        return jax.lax.dynamic_update_slice(cache_b, new_b, (0, pos_b, 0))
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (pos_b, 0))
 
     k_cache = jax.vmap(_upd)(k_cache, k_new, write_pos)
     v_cache = jax.vmap(_upd)(v_cache, v_new, write_pos)
     return k_cache, v_cache
 
 
-def gather_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray, indices: jnp.ndarray):
+def gather_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray, indices: jnp.ndarray,
+              n_kv: int):
     """Gather per-(batch, kv-head) cache entries.
 
-    k_cache/v_cache: [B, H_kv, S, D]; indices: [B, H_kv, N] int32.
-    Returns (k, v) with shape [B, H_kv, N, D].  Used by SnapKV draft-cache
+    k_cache/v_cache: [B, S, H_kv*hd]; indices: [B, H_kv, N] int32.
+    Returns (k, v) with shape [B, H_kv, N, hd].  Used by SnapKV draft-cache
     construction (reference Engine/SnapKV/model.py:431-438 gathers top-k
     positions per kv head).
     """
-    return (jnp.take_along_axis(k_cache, indices[..., None], axis=2),
-            jnp.take_along_axis(v_cache, indices[..., None], axis=2))
+    kh = jnp.swapaxes(heads_view(k_cache, n_kv), 1, 2)  # [B, H, S, hd]
+    vh = jnp.swapaxes(heads_view(v_cache, n_kv), 1, 2)
+    return (jnp.take_along_axis(kh, indices[..., None], axis=2),
+            jnp.take_along_axis(vh, indices[..., None], axis=2))

@@ -7,14 +7,19 @@ gamma+1 verify) attends over a long per-request KV prefix with causal
 end-alignment, GQA, online (flash) softmax — without materialising the
 [B, H, T, S] score tensor the jnp oracle (ops/attention.attend) creates.
 
+Layout: caches are [B, S, H_kv*hd] (folded head axis, ops/kv_cache.py), so KV
+blocks are [block_s, H_kv*hd] tiles with zero lane padding; queries are packed
+the same way ([GT rows, H_kv*hd lanes], lanes h*hd:(h+1)*hd = head h).
+
 Design:
-- grid (B, H_kv, S/BS) iterated sequentially per TPU core; running max /
-  normaliser / accumulator live in VMEM scratch across the S-block dimension.
+- grid (B, S/block_s) iterated sequentially per TPU core; running max /
+  normaliser / accumulator live in VMEM scratch across the S-block dimension;
+  the per-head loop is unrolled inside the kernel.
 - per-request lengths are scalar-prefetched; the K/V BlockSpec index maps
   clamp the block index to the last visible block, so blocks past a request's
   length are neither fetched (the pipeline dedups repeated indices) nor
-  computed (guarded with @pl.when)  — the moral equivalent of flashinfer's
-  ragged page tables, without host-side plan() calls.
+  computed — the moral equivalent of flashinfer's ragged page tables, without
+  host-side plan() calls.
 - q rows are the G*T (group-major) flattened query window; causal masking is
   col < base_len + (row % T) + 1, identical to the oracle.
 """
@@ -33,10 +38,7 @@ NEG_INF = -1e30
 
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
                    m_scr, l_scr, acc_scr, *, T: int, block_s: int, scale: float,
-                   n_kv: int):
-    """grid (B, S/block_s); the KV-head loop is unrolled inside the kernel so
-    each grid step moves n_kv * 2 * block_s * hd bytes — big enough that DMA,
-    not per-step pipeline overhead, sets the pace."""
+                   n_kv: int, hd: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nblocks = pl.num_programs(1)
@@ -49,7 +51,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     base = lens_ref[b]  # visible prefix length (before the T new tokens)
     start = j * block_s
-    GT = q_ref.shape[2]
+    GT = q_ref.shape[1]
 
     @pl.when(start < base + T)
     def _compute():
@@ -57,11 +59,10 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         row_t = jax.lax.broadcasted_iota(jnp.int32, (GT, block_s), 0) % T
         visible = col < base + row_t + 1
         for h in range(n_kv):
-            # keep native dtype into the MXU (bf16 inputs, fp32 accumulate);
-            # casting to fp32 first would quadruple the MXU passes
-            q = q_ref[0, h]                               # [GT, hd]
-            k = k_ref[0, h]                               # [BS, hd]
-            v = v_ref[0, h]                               # [BS, hd]
+            # bf16 into the MXU, fp32 accumulate
+            q = q_ref[0, :, h * hd:(h + 1) * hd]          # [GT, hd]
+            k = k_ref[0, :, h * hd:(h + 1) * hd]          # [BS, hd]
+            v = v_ref[0, :, h * hd:(h + 1) * hd]          # [BS, hd]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
             s = jnp.where(visible, s, NEG_INF)
@@ -79,7 +80,9 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j == nblocks - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+        acc = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)   # [Hkv, GT, hd]
+        o_ref[0] = (acc.transpose(1, 0, 2).reshape(GT, n_kv * hd)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
@@ -88,40 +91,40 @@ def flash_decode_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
                         interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ops.attention.attend(causal=True) on the decode path.
 
-    q: [B, T, Hq, hd]; k_cache/v_cache: [B, Hkv, S, hd]; base_lens: [B] int32.
-    Requires S % block_s == 0 (caches are allocated in 128-multiples).
+    q: [B, T, Hq, hd]; k_cache/v_cache: [B, S, Hkv*hd]; base_lens: [B] int32.
+    Requires S % block_s == 0.
     """
     B, T, Hq, hd = q.shape
-    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    S, K = k_cache.shape[1], k_cache.shape[2]
+    Hkv = K // hd
     G = Hq // Hkv
     GT = G * T
     assert S % block_s == 0, (S, block_s)
     nblocks = S // block_s
 
-    # [B, T, Hkv, G, hd] -> [B, Hkv, G*T, hd] (group-major rows, t minor)
-    qg = q.reshape(B, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, GT, hd)
+    # [B, T, Hkv, G, hd] -> [B, GT rows, Hkv*hd lanes] (rows group-major,
+    # lanes head-major — parallel to the cache layout)
+    qg = (q.reshape(B, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4)  # B,Hkv,G,T,hd
+          .reshape(B, Hkv, GT, hd).transpose(0, 2, 1, 3).reshape(B, GT, K))
     lens = base_lens.astype(jnp.int32)
 
     def q_map(b, j, lens_ref):
-        return (b, 0, 0, 0)
+        return (b, 0, 0)
 
     def kv_map(b, j, lens_ref):
         # clamp to the last visible block: repeated indices are fetched once
         last = jnp.maximum(lens_ref[b] + T - 1, 0) // block_s
-        return (b, 0, jnp.minimum(j, last), 0)
-
-    def o_map(b, j, lens_ref):
-        return (b, 0, 0, 0)
+        return (b, jnp.minimum(j, last), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nblocks),
         in_specs=[
-            pl.BlockSpec((1, Hkv, GT, hd), q_map),
-            pl.BlockSpec((1, Hkv, block_s, hd), kv_map),
-            pl.BlockSpec((1, Hkv, block_s, hd), kv_map),
+            pl.BlockSpec((1, GT, K), q_map),
+            pl.BlockSpec((1, block_s, K), kv_map),
+            pl.BlockSpec((1, block_s, K), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, GT, hd), o_map),
+        out_specs=pl.BlockSpec((1, GT, K), q_map),
         scratch_shapes=[
             pltpu.VMEM((Hkv, GT, 1), jnp.float32),
             pltpu.VMEM((Hkv, GT, 1), jnp.float32),
@@ -130,13 +133,15 @@ def flash_decode_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
     )
 
     kernel = functools.partial(_decode_kernel, T=T, block_s=block_s,
-                               scale=1.0 / (hd ** 0.5), n_kv=Hkv)
+                               scale=1.0 / (hd ** 0.5), n_kv=Hkv, hd=hd)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, GT, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, GT, K), q.dtype),
         interpret=interpret,
     )(lens, qg, k_cache, v_cache)
 
-    # [B, Hkv, G, T, hd] -> [B, T, Hq, hd]
-    return out.reshape(B, Hkv, G, T, hd).transpose(0, 3, 1, 2, 4).reshape(B, T, Hq, hd)
+    # [B, GT, Hkv, hd] -> [B, T, Hq, hd]
+    return (out.reshape(B, GT, Hkv, hd).transpose(0, 2, 1, 3)   # B,Hkv,GT,hd
+            .reshape(B, Hkv, G, T, hd).transpose(0, 3, 1, 2, 4)
+            .reshape(B, T, Hq, hd))

@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
                     m_scr, l_scr, acc_scr, *, C: int, block_r: int,
-                    block_s: int, scale: float, n_kv: int):
+                    block_s: int, scale: float, n_kv: int, hd: int):
     b = pl.program_id(0)
     r = pl.program_id(1)
     j = pl.program_id(2)
@@ -53,9 +53,9 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(any_visible)
     def _compute():
         for h in range(n_kv):
-            q = q_ref[0, h].astype(jnp.float32)          # [BR, hd]
-            k = k_ref[0, h].astype(jnp.float32)          # [BS, hd]
-            v = v_ref[0, h].astype(jnp.float32)
+            q = q_ref[0, :, h * hd:(h + 1) * hd]          # [BR, hd] bf16
+            k = k_ref[0, :, h * hd:(h + 1) * hd]          # [BS, hd]
+            v = v_ref[0, :, h * hd:(h + 1) * hd]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
             s = jnp.where(visible, s, NEG_INF)
@@ -65,12 +65,15 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
             corr = jnp.exp(m_prev - m_new)
             l_scr[h] = l_scr[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             m_scr[h] = m_new
 
     @pl.when(j == nblocks - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+        acc = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)   # [Hkv, BR, hd]
+        o_ref[0] = (acc.transpose(1, 0, 2).reshape(acc.shape[1], n_kv * hd)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "block_r", "interpret"))
@@ -79,11 +82,12 @@ def flash_prefill_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndar
                          block_r: int = 512, interpret: bool = False) -> jnp.ndarray:
     """Drop-in for ops.attention.attend(causal=True) on the prefill path.
 
-    q: [B, C, Hq, hd] (C-token chunk); k_cache/v_cache: [B, Hkv, S, hd]
+    q: [B, C, Hq, hd] (C-token chunk); k_cache/v_cache: [B, S, Hkv*hd]
     already containing the chunk at [base, base+C); base_lens: [B] int32.
     """
     B, C, Hq, hd = q.shape
-    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    S, K = k_cache.shape[1], k_cache.shape[2]
+    Hkv = K // hd
     G = Hq // Hkv
     GT = G * C
     assert S % block_s == 0, (S, block_s)
@@ -92,25 +96,26 @@ def flash_prefill_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndar
     n_row_blocks = GT // block_r
     nblocks = S // block_s
 
-    qg = q.reshape(B, C, Hkv, G, hd).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, GT, hd)
+    qg = (q.reshape(B, C, Hkv, G, hd).transpose(0, 2, 3, 1, 4)
+          .reshape(B, Hkv, GT, hd).transpose(0, 2, 1, 3).reshape(B, GT, K))
     lens = base_lens.astype(jnp.int32)
 
     def q_map(b, r, j, lens_ref):
-        return (b, 0, r, 0)
+        return (b, r, 0)
 
     def kv_map(b, r, j, lens_ref):
         last = jnp.maximum(lens_ref[b] + C - 1, 0) // block_s
-        return (b, 0, jnp.minimum(j, last), 0)
+        return (b, jnp.minimum(j, last), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_row_blocks, nblocks),
         in_specs=[
-            pl.BlockSpec((1, Hkv, block_r, hd), q_map),
-            pl.BlockSpec((1, Hkv, block_s, hd), kv_map),
-            pl.BlockSpec((1, Hkv, block_s, hd), kv_map),
+            pl.BlockSpec((1, block_r, K), q_map),
+            pl.BlockSpec((1, block_s, K), kv_map),
+            pl.BlockSpec((1, block_s, K), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, block_r, hd), q_map),
+        out_specs=pl.BlockSpec((1, block_r, K), q_map),
         scratch_shapes=[
             pltpu.VMEM((Hkv, block_r, 1), jnp.float32),
             pltpu.VMEM((Hkv, block_r, 1), jnp.float32),
@@ -120,12 +125,14 @@ def flash_prefill_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndar
 
     kernel = functools.partial(_prefill_kernel, C=C, block_r=block_r,
                                block_s=block_s, scale=1.0 / (hd ** 0.5),
-                               n_kv=Hkv)
+                               n_kv=Hkv, hd=hd)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, GT, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, GT, K), q.dtype),
         interpret=interpret,
     )(lens, qg, k_cache, v_cache)
 
-    return out.reshape(B, Hkv, G, C, hd).transpose(0, 3, 1, 2, 4).reshape(B, C, Hq, hd)
+    return (out.reshape(B, GT, Hkv, hd).transpose(0, 2, 1, 3)
+            .reshape(B, Hkv, G, C, hd).transpose(0, 3, 1, 2, 4)
+            .reshape(B, C, Hq, hd))

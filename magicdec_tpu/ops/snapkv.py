@@ -41,18 +41,20 @@ def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
 
     q_win:   [B, W, Hq, hd] roped queries of the last `window` prefill tokens
              (global positions ctx_len-W .. ctx_len-1).
-    k_cache/v_cache: [B, Hkv, S, hd] with the first ctx_len slots filled.
-    Returns (dk_new, dv_new): [B, Hkv, budget, hd].
+    k_cache/v_cache: [B, S, Hkv*hd] with the first ctx_len slots filled
+             (folded-head layout, ops.kv_cache).
+    Returns (dk_new, dv_new): [B, budget, Hkv, hd] (head-minor, ready to fold
+    back into a draft cache).
     """
     B, W, Hq, hd = q_win.shape
-    Hkv = k_cache.shape[1]
+    Hkv = k_cache.shape[2] // hd
     G = Hq // Hkv
     topk = budget - window
     assert W == window, (W, window)
     assert ctx_len - window >= topk, "prefix too short for draft budget"
 
-    keys = k_cache[:, :, :ctx_len]
-    vals = v_cache[:, :, :ctx_len]
+    keys = k_cache[:, :ctx_len].reshape(B, ctx_len, Hkv, hd)
+    vals = v_cache[:, :ctx_len].reshape(B, ctx_len, Hkv, hd)
 
     # causal mask for the window block: query i (global ctx-W+i) must not see
     # key j >= ctx-W+i+1
@@ -61,9 +63,9 @@ def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
     visible = col <= (ctx_len - W) + row  # [W, ctx]
 
     def one_request(qb, kb, vb):
-        # qb [W, Hq, hd]; kb/vb [Hkv, ctx, hd]
+        # qb [W, Hq, hd]; kb/vb [ctx, Hkv, hd]
         qg = qb.reshape(W, Hkv, G, hd).transpose(1, 2, 0, 3)  # [Hkv, G, W, hd]
-        scores = jnp.einsum("kgwd,ksd->kgws", qg.astype(jnp.float32),
+        scores = jnp.einsum("kgwd,skd->kgws", qg.astype(jnp.float32),
                             kb.astype(jnp.float32))
         scores = jnp.where(visible[None, None], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
@@ -71,10 +73,10 @@ def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
         pooled = _pool(mass)
         head_score = pooled.sum(axis=1)                     # [Hkv, ctx-W]
         _, idx = jax.lax.top_k(head_score, topk)            # [Hkv, topk]
-        k_sel = jnp.take_along_axis(kb[:, : ctx_len - W], idx[..., None], axis=1)
-        v_sel = jnp.take_along_axis(vb[:, : ctx_len - W], idx[..., None], axis=1)
-        dk = jnp.concatenate([k_sel, kb[:, ctx_len - W: ctx_len]], axis=1)
-        dv = jnp.concatenate([v_sel, vb[:, ctx_len - W: ctx_len]], axis=1)
+        k_sel = jnp.take_along_axis(kb[: ctx_len - W], idx.T[..., None], axis=0)
+        v_sel = jnp.take_along_axis(vb[: ctx_len - W], idx.T[..., None], axis=0)
+        dk = jnp.concatenate([k_sel, kb[ctx_len - W: ctx_len]], axis=0)
+        dv = jnp.concatenate([v_sel, vb[ctx_len - W: ctx_len]], axis=0)
         return dk, dv
 
     def _pool(mass):

@@ -27,27 +27,27 @@ def stream_update_raw(dk: jnp.ndarray, dv: jnp.ndarray,
                       fill: jnp.ndarray, *, budget: int, sink: int):
     """One chunk's raw-key cache update.
 
-    dk/dv: [B, Hkv, Sd, hd] (slots [0, budget) in use during prefill);
+    dk/dv: [B, Sd, Hkv*hd] (slots [0, budget) in use during prefill);
     k_new/v_new: [B, C, Hkv, hd] un-roped; fill: scalar int32 = min(tokens so
     far, budget).  Returns (dk, dv, new_fill, vis) where vis = visible length
     for this chunk's attention.
     """
-    C = k_new.shape[1]
-    k_new = jnp.swapaxes(k_new, 1, 2)  # [B, Hkv, C, hd]
-    v_new = jnp.swapaxes(v_new, 1, 2)
+    B, C = k_new.shape[:2]
+    k_new = k_new.reshape(B, C, -1)
+    v_new = v_new.reshape(B, C, -1)
 
     def grow(args):
         dk, dv = args
-        dk = jax.lax.dynamic_update_slice(dk, k_new.astype(dk.dtype), (0, 0, fill, 0))
-        dv = jax.lax.dynamic_update_slice(dv, v_new.astype(dv.dtype), (0, 0, fill, 0))
+        dk = jax.lax.dynamic_update_slice(dk, k_new.astype(dk.dtype), (0, fill, 0))
+        dv = jax.lax.dynamic_update_slice(dv, v_new.astype(dv.dtype), (0, fill, 0))
         return dk, dv
 
     def evict(args):
         dk, dv = args
-        win_k = jnp.concatenate([dk[:, :, sink + C: budget], k_new.astype(dk.dtype)], axis=2)
-        win_v = jnp.concatenate([dv[:, :, sink + C: budget], v_new.astype(dv.dtype)], axis=2)
-        dk = dk.at[:, :, sink:budget].set(win_k)
-        dv = dv.at[:, :, sink:budget].set(win_v)
+        win_k = jnp.concatenate([dk[:, sink + C: budget], k_new.astype(dk.dtype)], axis=1)
+        win_v = jnp.concatenate([dv[:, sink + C: budget], v_new.astype(dv.dtype)], axis=1)
+        dk = dk.at[:, sink:budget].set(win_k)
+        dv = dv.at[:, sink:budget].set(win_v)
         return dk, dv
 
     growing = fill + C <= budget

@@ -63,8 +63,9 @@ def param_pspecs(cfg: ModelConfig) -> Any:
 
 
 def cache_pspec() -> P:
-    """KV caches [L, B, Hkv, S, hd]: batch on data, kv heads on model."""
-    return P(None, "data", "model", None, None)
+    """KV caches [L, B, S, Hkv*hd]: batch on data, folded head axis on model
+    (head-major, so each model shard owns whole kv heads)."""
+    return P(None, "data", None, "model")
 
 
 def spec_state_pspecs() -> Any:

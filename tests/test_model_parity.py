@@ -33,7 +33,7 @@ def _make_hf_llama(seed=0, *, vocab=128, dim=64, n_layer=2, n_head=4, n_kv=2,
 
 
 def _alloc_caches(cfg, B, S, dtype=jnp.float32):
-    shape = (cfg.n_layer, B, cfg.n_kv_head, S, cfg.head_dim)
+    shape = (cfg.n_layer, B, S, cfg.n_kv_head * cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

@@ -20,8 +20,8 @@ def test_flash_decode_matches_oracle(T, G, hd, block_s):
     B, Hkv, S = 3, 2, 256
     Hq = Hkv * G
     q = jnp.asarray(rng.randn(B, T, Hq, hd), jnp.float32)
-    k = jnp.asarray(rng.randn(B, Hkv, S, hd), jnp.float32)
-    v = jnp.asarray(rng.randn(B, Hkv, S, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
     base = jnp.asarray([17, 100, 256 - T], jnp.int32)
 
     ref = attend(q, k, v, base, causal=True)
@@ -35,12 +35,12 @@ def test_flash_decode_ignores_garbage_beyond_length():
     rng = np.random.RandomState(1)
     B, Hkv, G, T, S, hd = 2, 2, 2, 2, 128, 64
     q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
-    k = jnp.asarray(rng.randn(B, Hkv, S, hd), jnp.float32)
-    v = jnp.asarray(rng.randn(B, Hkv, S, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
     base = jnp.asarray([5, 64], jnp.int32)
     out1 = flash_decode_attend(q, k, v, base, block_s=64, interpret=True)
-    k2 = k.at[:, :, 70:].set(1e4)
-    v2 = v.at[:, :, 70:].set(-1e4)
+    k2 = k.at[:, 70:].set(1e4)
+    v2 = v.at[:, 70:].set(-1e4)
     out2 = flash_decode_attend(q, k2, v2, base, block_s=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]),
                                atol=1e-6)
@@ -53,10 +53,26 @@ def test_flash_decode_bf16():
     rng = np.random.RandomState(2)
     B, Hkv, G, T, S, hd = 2, 2, 4, 4, 256, 64
     q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(B, Hkv, S, hd), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(B, Hkv, S, hd), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.bfloat16)
     base = jnp.asarray([30, 200], jnp.int32)
     ref = attend(q, k, v, base, causal=True)
     out = flash_decode_attend(q, k, v, base, block_s=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_prefill_matches_oracle():
+    from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
+
+    rng = np.random.RandomState(3)
+    B, Hkv, G, hd, S, C = 2, 2, 4, 32, 256, 64
+    q = jnp.asarray(rng.randn(B, C, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([64, 128], jnp.int32)
+    ref = attend(q, k, v, base, causal=True)
+    out = flash_prefill_attend(q, k, v, base, block_s=64, block_r=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

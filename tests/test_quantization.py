@@ -61,8 +61,8 @@ def test_quantized_model_close_to_fp(bits):
                                 group_size=16 if bits == 4 else None)
     assert Q.is_quantized(qparams["layers"]["wq"])
     tokens = _prompt(2, 16, seed=9)
-    caches = {"k": jnp.zeros((CFG.n_layer, 2, CFG.n_kv_head, 32, CFG.head_dim)),
-              "v": jnp.zeros((CFG.n_layer, 2, CFG.n_kv_head, 32, CFG.head_dim))}
+    shape = (CFG.n_layer, 2, 32, CFG.n_kv_head * CFG.head_dim)
+    caches = {"k": jnp.zeros(shape), "v": jnp.zeros(shape)}
     ref, _ = M.forward_target(PARAMS, CFG, tokens, jnp.zeros(2, jnp.int32),
                               caches, return_logits=True)
     out, _ = M.forward_target(qparams, CFG, tokens, jnp.zeros(2, jnp.int32),
