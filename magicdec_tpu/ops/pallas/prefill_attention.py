@@ -71,9 +71,9 @@ def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j == nblocks - 1)
     def _finish():
-        acc = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)   # [Hkv, BR, hd]
-        o_ref[0] = (acc.transpose(1, 0, 2).reshape(acc.shape[1], n_kv * hd)
-                    ).astype(o_ref.dtype)
+        for h in range(n_kv):
+            o_ref[0, :, h * hd:(h + 1) * hd] = (
+                acc_scr[h] / jnp.maximum(l_scr[h], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "block_r", "interpret"))
