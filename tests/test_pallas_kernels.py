@@ -76,3 +76,26 @@ def test_flash_prefill_matches_oracle():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+class TestQuantMatmulKernel:
+    def _mk(self, bits, group, In=128, Out=64, M=4, seed=5):
+        from magicdec_tpu import quantization as Q
+
+        rng = np.random.RandomState(seed)
+        w = jnp.asarray(rng.randn(In, Out).astype(np.float32))
+        x = jnp.asarray(rng.randn(M, In).astype(np.float32))
+        wq = Q.quantize_weight(w, bits=bits, group_size=group)
+        ref = Q.quant_matmul(x, wq)
+        return x, wq, ref
+
+    @pytest.mark.parametrize("bits,group", [(8, None), (8, 32), (4, 32), (4, 64)])
+    def test_matches_jnp_path(self, bits, group):
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
+
+        x, wq, ref = self._mk(bits, group)
+        out = quant_matmul_pallas(x, wq.q, wq.scale, bits=bits,
+                                  group_size=wq.group_size, block_in=64,
+                                  block_out=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
