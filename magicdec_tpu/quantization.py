@@ -23,6 +23,17 @@ import jax.numpy as jnp
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
+# "jnp": cast-matmul fused by XLA; "pallas": fused dequant+matmul kernel
+# (ops/pallas/quant_matmul.py).  Module-level because the dispatch happens
+# inside jitted model code.
+_MATMUL_BACKEND = "jnp"
+
+
+def set_matmul_backend(name: str) -> None:
+    global _MATMUL_BACKEND
+    assert name in ("jnp", "pallas"), name
+    _MATMUL_BACKEND = name
+
 
 @flax.struct.dataclass
 class QuantizedWeight:
@@ -111,6 +122,20 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
     (quantize.py:86-87): per-output-channel scaling commutes with the
     contraction, so scale applies to the output.
     """
+    if _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
+
+        In = wq.q.shape[0] * (2 if wq.bits == 4 else 1)
+        Out = wq.q.shape[1]
+        lead = x.shape[:-1]
+        M = 1
+        for d in lead:
+            M *= d
+        if In % 512 == 0 and Out % 256 == 0:
+            y = quant_matmul_pallas(x.reshape(M, In), wq.q, wq.scale,
+                                    bits=wq.bits, group_size=wq.group_size,
+                                    block_in=512, block_out=min(512, Out))
+            return y.reshape(*lead, Out)
     q = wq.q
     if wq.bits == 4:
         q = unpack_int4(q)
