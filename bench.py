@@ -50,7 +50,7 @@ def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="llama-3.2-1b")
-    p.add_argument("--B", type=int, default=8)
+    p.add_argument("--B", type=int, default=32)
     p.add_argument("--prefix_len", type=int, default=8192)
     p.add_argument("--gamma", type=int, default=3)
     p.add_argument("--draft_budget", type=int, default=513)
