@@ -80,11 +80,17 @@ class SpecEngine:
         self._baseline_shardings = None
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as S
-            S.validate_mesh(cfg, mesh)
-            self.params = S.shard_params(params, cfg, mesh)
-            self._spec_shardings = S._to_shardings(S.spec_state_pspecs(), mesh)
-            self._baseline_shardings = S._to_shardings(S.baseline_state_pspecs(), mesh)
-            self._cache_sharding = jax.sharding.NamedSharding(mesh, S.cache_pspec())
+            axes = S.model_axes_of(mesh)
+            daxes = self._draft_model_axes(mesh)
+            S.validate_mesh(cfg, mesh, axes)
+            self.params = S.shard_params(params, cfg, mesh, axes)
+            self._spec_shardings = S._to_shardings(
+                S.spec_state_pspecs(axes, daxes), mesh)
+            self._baseline_shardings = S._to_shardings(
+                S.baseline_state_pspecs(axes), mesh)
+            self._cache_sharding = jax.sharding.NamedSharding(mesh, S.cache_pspec(axes))
+            self._draft_cache_sharding = jax.sharding.NamedSharding(
+                mesh, S.cache_pspec(daxes))
 
     # ------------------------------------------------------------------
     # allocation
@@ -99,6 +105,11 @@ class SpecEngine:
     def _draft_cfg(self):
         return self.cfg
 
+    def _draft_model_axes(self, mesh):
+        """Self-spec shares the target's weights, hence its sharding."""
+        from magicdec_tpu.parallel import sharding as S
+        return S.model_axes_of(mesh)
+
     def _zero_caches(self, B: int):
         e, dt = self.ecfg, self.ecfg.cache_dtype
         k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
@@ -106,8 +117,10 @@ class SpecEngine:
         dk = jnp.zeros(self._cache_shape(B, self._draft_cap, self._draft_cfg()), dt)
         dv = jnp.zeros_like(dk)
         if self.mesh is not None:
-            k, v, dk, dv = (jax.lax.with_sharding_constraint(x, self._cache_sharding)
-                            for x in (k, v, dk, dv))
+            k = jax.lax.with_sharding_constraint(k, self._cache_sharding)
+            v = jax.lax.with_sharding_constraint(v, self._cache_sharding)
+            dk = jax.lax.with_sharding_constraint(dk, self._draft_cache_sharding)
+            dv = jax.lax.with_sharding_constraint(dv, self._draft_cache_sharding)
         return k, v, dk, dv
 
     # ------------------------------------------------------------------
@@ -487,11 +500,19 @@ class LongSpecEngine(SpecEngine):
             self._draft_cap = ecfg.max_seq_len
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as S
-            S.validate_mesh(draft_cfg, mesh)
-            self.draft_params = S.shard_params(draft_params, draft_cfg, mesh)
+            daxes = S.draft_axes_of(mesh)
+            S.validate_mesh(draft_cfg, mesh, daxes)
+            self.draft_params = S.shard_params(draft_params, draft_cfg, mesh,
+                                               daxes)
 
     def _draft_cfg(self):
         return self.draft_cfg
+
+    def _draft_model_axes(self, mesh):
+        """Standalone draft runs TP over the inner model sub-axis only
+        (reference --draft_rank_group, SURVEY.md §2.3 mode 4)."""
+        from magicdec_tpu.parallel import sharding as S
+        return S.draft_axes_of(mesh)
 
     def _draft_model(self, params):
         return self.draft_params, self.draft_cfg
@@ -557,8 +578,8 @@ class LongSpecEngine(SpecEngine):
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
             dv = jnp.zeros_like(dk)
             if self.mesh is not None:
-                dk = jax.lax.with_sharding_constraint(dk, self._cache_sharding)
-                dv = jax.lax.with_sharding_constraint(dv, self._cache_sharding)
+                dk = jax.lax.with_sharding_constraint(dk, self._draft_cache_sharding)
+                dv = jax.lax.with_sharding_constraint(dv, self._draft_cache_sharding)
 
             if e_.mode == "full":
                 dcaches, dlens, _ = chunked_prefill(draft_params, dcfg, tokens,

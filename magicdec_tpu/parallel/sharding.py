@@ -38,19 +38,51 @@ def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
     return Mesh(dev, axis_names=("data", "model"))
 
 
-def param_pspecs(cfg: ModelConfig) -> Any:
-    """PartitionSpec pytree matching the params structure."""
+def make_submesh_mesh(data: int, model_outer: int, model_inner: int,
+                      devices=None) -> Mesh:
+    """3-axis mesh for the reference's draft-sub-mesh mode
+    (tests/SnapKV/longspec_benchmark.py --rank_group 0-7 --draft_rank_group
+    0-3, SURVEY.md §2.3 mode 4): the target is tensor-parallel over
+    ("mo", "mi") = model_outer*model_inner devices; the standalone draft is
+    tensor-parallel over "mi" only (replicated across "mo"), so its per-layer
+    collectives span model_inner devices instead of the full TP group."""
+    devices = devices if devices is not None else jax.devices()
+    n = data * model_outer * model_inner
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(data, model_outer, model_inner)
+    return Mesh(dev, axis_names=("data", "mo", "mi"))
+
+
+def model_axes_of(mesh: Mesh):
+    """The mesh axes acting as 'model' for the target."""
+    if "model" in mesh.axis_names:
+        return ("model",)
+    return ("mo", "mi")
+
+
+def draft_axes_of(mesh: Mesh):
+    """The mesh axes acting as 'model' for the (standalone) draft."""
+    if "model" in mesh.axis_names:
+        return ("model",)
+    return ("mi",)
+
+
+def param_pspecs(cfg: ModelConfig, axes=("model",)) -> Any:
+    """PartitionSpec pytree matching the params structure.  ``axes`` is the
+    (possibly compound) mesh axis tuple used for tensor parallelism."""
+    m = axes if len(axes) > 1 else axes[0]
     layers = {
-        "wq": P(None, None, "model"),
-        "wk": P(None, None, "model"),
-        "wv": P(None, None, "model"),
-        "bq": P(None, "model") if cfg.qkv_bias else None,
-        "bk": P(None, "model") if cfg.qkv_bias else None,
-        "bv": P(None, "model") if cfg.qkv_bias else None,
-        "wo": P(None, "model", None),
-        "w1": P(None, None, "model"),
-        "w3": P(None, None, "model"),
-        "w2": P(None, "model", None),
+        "wq": P(None, None, m),
+        "wk": P(None, None, m),
+        "wv": P(None, None, m),
+        "bq": P(None, m) if cfg.qkv_bias else None,
+        "bk": P(None, m) if cfg.qkv_bias else None,
+        "bv": P(None, m) if cfg.qkv_bias else None,
+        "wo": P(None, m, None),
+        "w1": P(None, None, m),
+        "w3": P(None, None, m),
+        "w2": P(None, m, None),
         "attn_norm": P(None, None),
         "ffn_norm": P(None, None),
     }
@@ -58,24 +90,26 @@ def param_pspecs(cfg: ModelConfig) -> Any:
         "embed": P(None, None),
         "layers": layers,
         "final_norm": P(None),
-        "lm_head": P(None, "model"),  # vocab-sharded (reference tp.py:196)
+        "lm_head": P(None, m),  # vocab-sharded (reference tp.py:196)
     }
 
 
-def cache_pspec() -> P:
-    """KV caches [L, B, S, Hkv*hd]: batch on data, folded head axis on model
-    (head-major, so each model shard owns whole kv heads)."""
-    return P(None, "data", None, "model")
+def cache_pspec(axes=("model",)) -> P:
+    """KV caches [L, B, S, Hkv*hd]: batch on data, folded head axis on the
+    model axes (head-major, so each model shard owns whole kv heads)."""
+    m = axes if len(axes) > 1 else axes[0]
+    return P(None, "data", None, m)
 
 
-def spec_state_pspecs() -> Any:
-    """PartitionSpecs for engine.state.SpecState fields."""
+def spec_state_pspecs(axes=("model",), draft_axes=None) -> Any:
+    """PartitionSpecs for engine.state.SpecState fields.  draft caches may be
+    sharded over a sub-axis of the target's model axes (draft sub-mesh)."""
     from magicdec_tpu.engine.state import SpecState
 
     b = P("data")
     return SpecState(
-        k=cache_pspec(), v=cache_pspec(), target_lens=b,
-        dk=cache_pspec(), dv=cache_pspec(),
+        k=cache_pspec(axes), v=cache_pspec(axes), target_lens=b,
+        dk=cache_pspec(draft_axes or axes), dv=cache_pspec(draft_axes or axes),
         draft_fill=b, draft_pos=b,
         token0=b, output=P("data", None),
         num_committed=b, target_steps=P(), done=P(),
@@ -83,12 +117,12 @@ def spec_state_pspecs() -> Any:
     )
 
 
-def baseline_state_pspecs() -> Any:
+def baseline_state_pspecs(axes=("model",)) -> Any:
     from magicdec_tpu.engine.state import BaselineState
 
     b = P("data")
-    return BaselineState(k=cache_pspec(), v=cache_pspec(), lens=b, token0=b,
-                         output=P("data", None), num_committed=b)
+    return BaselineState(k=cache_pspec(axes), v=cache_pspec(axes), lens=b,
+                         token0=b, output=P("data", None), num_committed=b)
 
 
 def _to_shardings(tree_pspecs, mesh: Mesh):
@@ -98,9 +132,10 @@ def _to_shardings(tree_pspecs, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, P) or x is None)
 
 
-def shard_params(params, cfg: ModelConfig, mesh: Mesh):
+def shard_params(params, cfg: ModelConfig, mesh: Mesh, axes=None):
     """device_put the params pytree with TP shardings."""
-    shardings = _to_shardings(param_pspecs(cfg), mesh)
+    axes = axes or model_axes_of(mesh)
+    shardings = _to_shardings(param_pspecs(cfg, axes), mesh)
 
     def put(x, s):
         return x if x is None else jax.device_put(x, s)
@@ -109,8 +144,11 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
                         is_leaf=lambda x: x is None)
 
 
-def validate_mesh(cfg: ModelConfig, mesh: Mesh) -> None:
-    model = mesh.shape["model"]
+def validate_mesh(cfg: ModelConfig, mesh: Mesh, axes=None) -> None:
+    axes = axes or model_axes_of(mesh)
+    model = 1
+    for a in axes:
+        model *= mesh.shape[a]
     if cfg.n_kv_head % model != 0:
         raise ValueError(
             f"n_kv_head={cfg.n_kv_head} not divisible by model axis {model}; "

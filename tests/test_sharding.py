@@ -82,3 +82,27 @@ def test_param_shardings_cover_all_leaves():
     flat, _ = jax.tree.flatten(sharded)
     for leaf in flat:
         assert hasattr(leaf, "sharding")
+
+
+def test_longspec_draft_submesh_matches_single_device():
+    """Reference mode 4 (SURVEY §2.3): target TP over the full model axes,
+    draft TP over the inner sub-axis only — outputs must equal 1-device."""
+    from magicdec_tpu.engine.engine import LongSpecEngine
+    from tests.test_longspec import DRAFT_CFG, DRAFT_PARAMS
+
+    B, prefix, max_gen = 4, 48, 12
+    ecfg = _ecfg("full")
+    prompt = _prompt(B, prefix, seed=9)
+
+    ref = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, ecfg)
+    st = ref.encode(prompt)
+    _, ref_stats = ref.generate(st)
+
+    mesh = S.make_submesh_mesh(data=1, model_outer=2, model_inner=2)
+    assert S.model_axes_of(mesh) == ("mo", "mi")
+    assert S.draft_axes_of(mesh) == ("mi",)
+    tp = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, ecfg, mesh=mesh)
+    st = tp.encode(prompt)
+    _, tp_stats = tp.generate(st)
+    np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
+                                  np.asarray(tp_stats["output"]))
