@@ -59,6 +59,8 @@ def main():
     p.add_argument("--iters", type=int, default=1)
     p.add_argument("--prefill_chunk", type=int, default=512)
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
+    p.add_argument("--quantize", choices=["int8", "int4"], default=None)
+    p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -66,6 +68,11 @@ def main():
 
     cfg = ModelConfig.from_name(args.model)
     params = make_params(cfg)
+    if args.quantize:
+        from magicdec_tpu import quantization as Q
+
+        Q.set_matmul_backend(args.quant_backend)
+        params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
@@ -116,8 +123,9 @@ def main():
           f"{steps} target steps, {accept:.2f} tokens/step/seq)", file=sys.stderr)
     print(f"[bench] autoregressive: {base_tps:.1f} tok/s", file=sys.stderr)
 
+    qtag = f"_{args.quantize}" if args.quantize else ""
     print(json.dumps({
-        "metric": f"selfspec_{args.mode}_tokens_per_s_{args.model}_B{args.B}_ctx{prefix}",
+        "metric": f"selfspec_{args.mode}_tokens_per_s_{args.model}{qtag}_B{args.B}_ctx{prefix}",
         "value": round(spec_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(spec_tps / base_tps, 4),
