@@ -52,7 +52,7 @@ def main():
     p.add_argument("--model", default="llama-3.2-1b")
     p.add_argument("--B", type=int, default=32)
     p.add_argument("--prefix_len", type=int, default=8192)
-    p.add_argument("--gamma", type=int, default=3)
+    p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--draft_budget", type=int, default=513)
     p.add_argument("--mode", default="streamingllm", choices=["streamingllm", "snapkv"])
     p.add_argument("--max_gen", type=int, default=80)
