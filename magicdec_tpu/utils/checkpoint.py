@@ -182,16 +182,38 @@ def convert_hf_checkpoint(checkpoint_dir: str, out_path: str,
 
 
 def load_converted(path: str, dtype=None) -> Dict[str, Any]:
-    """Load an .npz produced by convert_hf_checkpoint back into the pytree."""
+    """Load an .npz produced by convert_hf_checkpoint (or its --quantize
+    variant) back into the params pytree.  Quantized leaves are stored flat as
+    ``<name>.q`` / ``<name>.scale`` / ``<name>.bits`` and are reconstructed
+    into QuantizedWeight objects."""
+    from magicdec_tpu.quantization import QuantizedWeight
+
     raw = np.load(path)
-    params: Dict[str, Any] = {"lm_head": None}
+    params: Dict[str, Any] = {}
     for key in raw.files:
-        value = jnp.asarray(raw[key], dtype=dtype)
+        arr = raw[key]
         node = params
         parts = key.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = value
+        leaf_dtype = None if arr.dtype in (np.int8,) or parts[-1] == "bits"             else dtype
+        node[parts[-1]] = jnp.asarray(arr, dtype=leaf_dtype)
+
+    def rebuild(node):
+        if not isinstance(node, dict):
+            return node
+        if set(node) == {"q", "scale", "bits"}:
+            In = node["q"].shape[-2]
+            bits = int(node["bits"])
+            scale = node["scale"].astype(jnp.float32)
+            G = scale.shape[-2]
+            full_in = In * (2 if bits == 4 else 1)
+            return QuantizedWeight(q=node["q"], scale=scale, bits=bits,
+                                   group_size=full_in // G)
+        return {k: rebuild(v) for k, v in node.items()}
+
+    params = rebuild(params)
+    params.setdefault("lm_head", None)  # tied embeddings
     for name in ("bq", "bk", "bv"):
         params["layers"].setdefault(name, None)
     return params

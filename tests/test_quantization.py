@@ -107,3 +107,46 @@ def test_bits_from_path():
     assert Q.bits_from_path("/ckpt/llama-int8/model.npz") == 8
     assert Q.bits_from_path("llama-3.1-8b-int4.npz") == 4
     assert Q.bits_from_path("llama-3.1-8b.npz") is None
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """convert --quantize writes a flat npz; load_converted must rebuild
+    QuantizedWeight leaves that produce identical logits."""
+    import numpy as np
+    from magicdec_tpu.utils.checkpoint import load_converted
+
+    qparams = Q.quantize_params(PARAMS, bits=4, group_size=16)
+    flat = {}
+
+    def flatten(prefix, tree):
+        if tree is None:
+            return
+        if Q.is_quantized(tree):
+            flat[prefix + "q"] = np.asarray(tree.q)
+            flat[prefix + "scale"] = np.asarray(tree.scale)
+            flat[prefix + "bits"] = np.asarray(tree.bits)
+            return
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                flatten(f"{prefix}{k}.", v)
+            return
+        flat[prefix[:-1]] = np.asarray(tree)
+
+    flatten("", qparams)
+    path = tmp_path / "model-int4.npz"
+    np.savez(path, **flat)
+    loaded = load_converted(str(path), dtype=jnp.float32)
+    assert Q.is_quantized(loaded["layers"]["wq"])
+    assert loaded["layers"]["wq"].bits == 4
+    assert loaded["layers"]["wq"].group_size == 16
+
+    tokens = _prompt(2, 8, seed=1)
+    shape = (CFG.n_layer, 2, 16, CFG.n_kv_head * CFG.head_dim)
+    caches = {"k": jnp.zeros(shape), "v": jnp.zeros(shape)}
+    ref, _ = M.forward_target(qparams, CFG, tokens, jnp.zeros(2, jnp.int32),
+                              caches, return_logits=True)
+    out, _ = M.forward_target(loaded, CFG, tokens, jnp.zeros(2, jnp.int32),
+                              {"k": caches["k"], "v": caches["v"]},
+                              return_logits=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
