@@ -258,11 +258,15 @@ class SpecEngine:
         }
         return state, stats
 
+    def _window(self):
+        """The speculation-window step for this engine's draft-cache mode."""
+        return (self._window_snapkv if self.ecfg.mode == "snapkv"
+                else self._window_streaming)
+
     @functools.lru_cache(maxsize=8)
     def _generate_fn(self, B: int):
         e = self.ecfg
-        window = (self._window_snapkv if e.mode == "snapkv"
-                  else self._window_streaming)
+        window = self._window()
 
         def gen(params, st: SpecState) -> SpecState:
             max_steps = e.max_gen + 1  # every window commits >= 1 token
@@ -275,19 +279,43 @@ class SpecEngine:
         return jax.jit(gen, donate_argnums=(1,))
 
     def _finish_window(self, st: SpecState, tokens_buffer, target_tokens,
-                       caches, *, draft_fill, draft_pos) -> SpecState:
-        """Shared acceptance / commit / termination logic."""
+                       caches, *, draft_fill, draft_pos, masks=None):
+        """Shared acceptance / commit / termination logic.
+
+        Fixed-batch mode (``masks=None``): termination is batch-global like the
+        reference stop rule (tests/SnapKV/selfspec_benchmark.py:193); returns
+        the new state.  Serving mode (``masks=(active, done_vec)``): acceptance
+        and termination are per-request, non-live slots' lengths/carries are
+        frozen; returns ``(state, done_vec)``.
+        """
         e = self.ecfg
         accept, bonus, eot_accepted = spec_ops.greedy_accept(
             target_tokens, tokens_buffer, self._eot)
+        if masks is not None:
+            active, done_vec = masks
+            live = active & ~done_vec
+            accept = jnp.where(live, accept, 0).astype(jnp.int32)
         output = spec_ops.commit_tokens(st.output, st.num_committed,
                                         tokens_buffer, accept)
         committed = st.num_committed + accept
-        done = (eot_accepted
-                | spec_ops.is_eot(bonus, self._eot).any()
-                | (committed.max() >= e.max_gen))
-        output = jnp.where(done, spec_ops.write_at(output, committed, bonus), output)
-        committed = committed + done.astype(jnp.int32)
+        if masks is None:
+            done = (eot_accepted.any()
+                    | spec_ops.is_eot(bonus, self._eot).any()
+                    | (committed.max() >= e.max_gen))
+            output = jnp.where(done, spec_ops.write_at(output, committed, bonus),
+                               output)
+            committed = committed + done.astype(jnp.int32)
+            done_flag = done
+        else:
+            newly_done = live & (eot_accepted
+                                 | spec_ops.is_eot(bonus, self._eot)
+                                 | (committed >= e.max_gen))
+            output = jnp.where(newly_done[:, None],
+                               spec_ops.write_at(output, committed, bonus),
+                               output)
+            committed = committed + newly_done.astype(jnp.int32)
+            done_vec = done_vec | newly_done
+            done_flag = jnp.all(done_vec | ~active)
 
         gamma = e.gamma
         full = accept == gamma + 1
@@ -296,17 +324,25 @@ class SpecEngine:
             jnp.where(full, bonus, jnp.zeros_like(bonus)),
         ], axis=1)
         db_update = jnp.where(full, 2, 1).astype(jnp.int32)
+        new_fill, new_pos, token0 = draft_fill(accept), draft_pos(accept), bonus
+        if masks is not None:
+            new_fill = jnp.where(live, new_fill, st.draft_fill)
+            new_pos = jnp.where(live, new_pos, st.draft_pos)
+            token0 = jnp.where(live, token0, st.token0)
+            db_tokens = jnp.where(live[:, None], db_tokens, st.db_tokens)
+            db_update = jnp.where(live, db_update, st.db_update)
 
-        return st.replace(
+        st = st.replace(
             k=caches["k"], v=caches["v"], dk=caches["dk"], dv=caches["dv"],
             target_lens=st.target_lens + accept,
-            draft_fill=draft_fill(accept), draft_pos=draft_pos(accept),
-            token0=bonus, output=output, num_committed=committed,
-            target_steps=st.target_steps + 1, done=done,
+            draft_fill=new_fill, draft_pos=new_pos,
+            token0=token0, output=output, num_committed=committed,
+            target_steps=st.target_steps + 1, done=done_flag,
             db_tokens=db_tokens, db_update=db_update,
         )
+        return st if masks is None else (st, done_vec)
 
-    def _window_snapkv(self, params, st: SpecState) -> SpecState:
+    def _window_snapkv(self, params, st: SpecState, masks=None):
         """SnapKV self-spec window (reference tests/SnapKV/selfspec:120-211).
 
         Drafts at *real* rope positions; verify dual-appends the target's KV
@@ -336,14 +372,14 @@ class SpecEngine:
         return self._finish_window(
             st, tokens_buffer, target_tokens, caches,
             draft_fill=lambda acc: f0 + acc,
-            draft_pos=lambda acc: st.draft_pos + acc)
+            draft_pos=lambda acc: st.draft_pos + acc, masks=masks)
 
     def _draft_model(self, params):
         """(params, cfg) used for draft steps — self-spec shares the target's
         weights; LongSpecEngine overrides with the standalone draft."""
         return params, self.cfg
 
-    def _window_streaming(self, params, st: SpecState) -> SpecState:
+    def _window_streaming(self, params, st: SpecState, masks=None):
         """Double-buffer speculation window.
 
         Used by StreamingLLM self-spec (tests/StreamingLLM/selfspec:121-224)
@@ -391,7 +427,7 @@ class SpecEngine:
         return self._finish_window(
             st, tokens_buffer, target_tokens, caches,
             draft_fill=fill_after,
-            draft_pos=lambda acc: fill_after(acc) + delta)
+            draft_pos=lambda acc: fill_after(acc) + delta, masks=masks)
 
     # ------------------------------------------------------------------
     # autoregressive baseline (tests/baseline_benchmark.py equivalent)
@@ -517,21 +553,10 @@ class LongSpecEngine(SpecEngine):
     def _draft_model(self, params):
         return self.draft_params, self.draft_cfg
 
-    @functools.lru_cache(maxsize=8)
-    def _generate_fn(self, B: int):
-        e = self.ecfg
-
-        def gen(params, st: SpecState) -> SpecState:
-            max_steps = e.max_gen + 1
-
-            def cond(st):
-                return (~st.done) & (st.target_steps < max_steps)
-
-            # every longspec mode uses the double-buffer window
-            return jax.lax.while_loop(
-                cond, functools.partial(self._window_streaming, params), st)
-
-        return jax.jit(gen, donate_argnums=(1,))
+    def _window(self):
+        # every longspec mode uses the double-buffer window; ecfg.mode selects
+        # the draft cache built at encode time, not the decode step
+        return self._window_streaming
 
     @functools.lru_cache(maxsize=8)
     def _encode_fn(self, B: int, prefix: int):

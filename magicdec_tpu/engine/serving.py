@@ -30,8 +30,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from magicdec_tpu.engine import spec as spec_ops
-from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
+from magicdec_tpu.engine.engine import LongSpecEngine, SpecEngine
 from magicdec_tpu.engine.state import SpecState
 
 
@@ -49,120 +48,29 @@ class ServingEngine(SpecEngine):
     request's generated tokens.  Admission requires all prompts padded/bucketed
     to the same prefix length per admission call (reference-style equal-length
     batches within a step; ragged admission buckets are the caller's policy).
+
+    The speculation window is the fixed-batch engine's own window step run with
+    ``masks=(active, done)`` (engine.SpecEngine._finish_window): acceptance and
+    termination become per-request, non-live slots are frozen.  Any draft-cache
+    mode the base engine supports works here — streamingllm/snapkv self-spec,
+    and all standalone-draft modes via ServingLongSpecEngine.
     """
-
-    # ------------------------------------------------------------------
-    # per-request window (overrides the batch-global commit logic)
-    # ------------------------------------------------------------------
-
-    def _finish_window_serving(self, st: SpecState, active, done,
-                               tokens_buffer, target_tokens, caches, *,
-                               draft_fill, draft_pos):
-        e = self.ecfg
-        gamma = e.gamma
-        draft = tokens_buffer[:, 1:]
-        match = target_tokens[:, :gamma] == draft
-        eot = spec_ops.is_eot(draft, self._eot)
-        acc = jnp.cumprod((match & ~eot).astype(jnp.int32), axis=1)
-        accept = acc.sum(axis=1) + 1
-        live = active & ~done
-        accept = jnp.where(live, accept, 0).astype(jnp.int32)
-
-        bonus = jnp.take_along_axis(target_tokens,
-                                    jnp.maximum(accept - 1, 0)[:, None],
-                                    axis=1)[:, 0]
-        eot_accepted_b = (eot & acc.astype(bool)).any(axis=1)
-
-        output = spec_ops.commit_tokens(st.output, st.num_committed,
-                                        tokens_buffer, accept)
-        committed = st.num_committed + accept
-        newly_done = live & (eot_accepted_b
-                             | spec_ops.is_eot(bonus, self._eot)
-                             | (committed >= e.max_gen))
-        output = jnp.where(newly_done[:, None],
-                           spec_ops.write_at(output, committed, bonus), output)
-        committed = committed + newly_done.astype(jnp.int32)
-        done = done | newly_done
-
-        full = accept == gamma + 1
-        db_tokens = jnp.stack([
-            jnp.where(full, tokens_buffer[:, gamma], bonus),
-            jnp.where(full, bonus, jnp.zeros_like(bonus)),
-        ], axis=1)
-        db_update = jnp.where(full, 2, 1).astype(jnp.int32)
-
-        spec = st.replace(
-            k=caches["k"], v=caches["v"], dk=caches["dk"], dv=caches["dv"],
-            target_lens=st.target_lens + accept,
-            draft_fill=draft_fill(accept), draft_pos=draft_pos(accept),
-            token0=bonus, output=output, num_committed=committed,
-            target_steps=st.target_steps + 1,
-            done=jnp.all(done | ~active),
-            db_tokens=db_tokens, db_update=db_update,
-        )
-        return spec, done
 
     @functools.lru_cache(maxsize=8)
     def _windows_fn(self, B: int, n_windows: int):
-        e = self.ecfg
-        if e.mode != "streamingllm":
-            raise NotImplementedError("serving engine: streamingllm self-spec")
+        window = self._window()
 
         def run(params, sst: ServingState) -> ServingState:
             def body(carry, _):
                 spec, done = carry
-                spec2, done = self._window_streaming_serving(
-                    params, spec, sst.active, done)
-                return (spec2, done), None
+                spec, done = window(params, spec, masks=(sst.active, done))
+                return (spec, done), None
 
             (spec, done), _ = jax.lax.scan(body, (sst.spec, sst.done), None,
                                            length=n_windows)
             return ServingState(spec=spec, active=sst.active, done=done)
 
         return jax.jit(run, donate_argnums=(1,))
-
-    def _window_streaming_serving(self, params, st: SpecState, active, done):
-        e, cfg = self.ecfg, self.cfg
-        from magicdec_tpu.models import llama as M
-
-        dparams, dcfg = self._draft_model(params)
-        f0 = st.draft_fill
-        delta = st.draft_pos - st.draft_fill
-        dcaches = {"dk": st.dk, "dv": st.dv}
-        nxt2, dcaches = M.forward_draft(dparams, dcfg, st.db_tokens, f0,
-                                        f0 + delta, dcaches,
-                                        backend=e.attn_backend)
-        tok1 = jnp.take_along_axis(nxt2, (st.db_update - 1)[:, None], axis=1)[:, 0]
-        fill = f0 + st.db_update
-
-        def draft_body(carry, _):
-            dk, dv, fill, tok = carry
-            nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill,
-                                      fill + delta, {"dk": dk, "dv": dv},
-                                      backend=e.attn_backend)
-            nxt = nxt[:, 0]
-            return (dc["dk"], dc["dv"], fill + 1, nxt), nxt
-
-        (dk, dv, _, _), drafted = jax.lax.scan(
-            draft_body, (dcaches["dk"], dcaches["dv"], fill, tok1),
-            None, length=e.gamma - 1)
-        drafted = jnp.concatenate([tok1[:, None], jnp.moveaxis(drafted, 0, 1)],
-                                  axis=1)
-        tokens_buffer = jnp.concatenate([st.token0[:, None], drafted], axis=1)
-
-        caches = {"k": st.k, "v": st.v}
-        target_tokens, caches = M.forward_target(
-            params, cfg, tokens_buffer, st.target_lens, caches,
-            backend=e.attn_backend)
-        caches = {**caches, "dk": dk, "dv": dv}
-
-        gamma = e.gamma
-        fill_after = lambda acc: f0 + jnp.where(
-            acc > 0, st.db_update - 1 + jnp.minimum(acc, gamma), 0)
-        return self._finish_window_serving(
-            st, active, done, tokens_buffer, target_tokens, caches,
-            draft_fill=fill_after,
-            draft_pos=lambda acc: fill_after(acc) + delta)
 
     # ------------------------------------------------------------------
     # admission / drain
@@ -259,3 +167,11 @@ class ServingEngine(SpecEngine):
             sst = windows(self.params, sst)
             sst = refill(sst)
         return [results[i] for i in range(len(prompts))]
+
+
+class ServingLongSpecEngine(ServingEngine, LongSpecEngine):
+    """Continuous-batching serving with a standalone draft model (reference
+    execution mode 3, tests/*/longspec_benchmark.py — which the reference can
+    only run with fixed batches and batch-global termination).  Inherits the
+    per-request lifecycle from ServingEngine and the draft model / encode paths
+    (full, streamingllm, or snapkv draft cache) from LongSpecEngine."""

@@ -25,9 +25,11 @@ def greedy_accept(target_tokens: jnp.ndarray, tokens_buffer: jnp.ndarray,
     """target_tokens [B, gamma+1] (verify argmax), tokens_buffer [B, gamma+1]
     (slot 0 committed, 1..gamma drafted).
 
-    Returns (accept_nums [B] in [1, gamma+1], bonus [B], eot_accepted scalar
-    bool).  Matches reference :146-176 including the EOT handling: a drafted
-    EOT is never accepted, but stops generation iff every token before it was.
+    Returns (accept_nums [B] in [1, gamma+1], bonus [B], eot_accepted [B]
+    bool — per request, so serving can terminate slots independently; the
+    fixed-batch engine reduces it with .any()).  Matches reference :146-176
+    including the EOT handling: a drafted EOT is never accepted, but stops
+    generation iff every token before it was.
     """
     gamma = tokens_buffer.shape[1] - 1
     draft = tokens_buffer[:, 1:]
@@ -35,7 +37,7 @@ def greedy_accept(target_tokens: jnp.ndarray, tokens_buffer: jnp.ndarray,
     eot = is_eot(draft, eot_ids)
     acc = jnp.cumprod((match & ~eot).astype(jnp.int32), axis=1)
     accept_nums = acc.sum(axis=1) + 1
-    eot_accepted = jnp.any(eot & acc.astype(bool))
+    eot_accepted = jnp.any(eot & acc.astype(bool), axis=1)
     bonus = jnp.take_along_axis(target_tokens, (accept_nums - 1)[:, None], axis=1)[:, 0]
     return accept_nums.astype(jnp.int32), bonus, eot_accepted
 

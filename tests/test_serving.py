@@ -4,17 +4,21 @@ Gold standard: every request served through the shared batch must produce
 exactly the tokens the fixed-batch engine produces for it alone (slots are
 isolated — attention and caches are per-request)."""
 
+import dataclasses
+
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
-from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
-from magicdec_tpu.engine.serving import ServingEngine
+from magicdec_tpu.engine.engine import EngineConfig, LongSpecEngine, SpecEngine
+from magicdec_tpu.engine.serving import ServingEngine, ServingLongSpecEngine
+from tests.test_longspec import DRAFT_CFG, DRAFT_PARAMS
 from tests.test_spec_parity import CFG, PARAMS
 
 
-def _ecfg(max_gen=16, eot=(-1,)):
-    return EngineConfig(mode="streamingllm", gamma=3, draft_budget=33,
+def _ecfg(max_gen=16, eot=(-1,), mode="streamingllm"):
+    return EngineConfig(mode=mode, gamma=3, draft_budget=33,
                         max_seq_len=256, chunk_size=16, window_size=8,
                         sink_size=4, max_gen=max_gen, eot_ids=eot,
                         cache_dtype=jnp.float32)
@@ -66,3 +70,32 @@ def test_serving_with_eot_variable_lengths():
         np.testing.assert_array_equal(out, ref)
     # at least the engineered request stopped early
     assert min(lens) < 21, lens
+
+
+def test_serving_snapkv_matches_solo():
+    """SnapKV self-spec through the serving engine (the generic masked window,
+    not a streamingllm-only path)."""
+    ecfg = _ecfg(max_gen=10, mode="snapkv")
+    prompts = _prompts(3, 40, seed=5)  # prefix ≡ window (mod chunk)
+    engine = ServingEngine(PARAMS, CFG, ecfg)
+    outs = engine.serve(prompts, B=2, windows_per_sync=2)
+    for prompt, out in zip(prompts, outs):
+        np.testing.assert_array_equal(out, _solo_reference(prompt, ecfg))
+
+
+@pytest.mark.parametrize("mode,prefix", [("full", 48), ("streamingllm", 48)])
+def test_serving_longspec_matches_solo(mode, prefix):
+    """Standalone-draft serving: each served request must reproduce its own
+    fixed-batch LongSpecEngine run exactly."""
+    ecfg = _ecfg(max_gen=10, mode=mode)
+    prompts = _prompts(3, prefix, seed=7)
+    engine = ServingLongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, ecfg)
+    outs = engine.serve(prompts, B=2, windows_per_sync=2)
+
+    solo = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, ecfg)
+    for prompt, out in zip(prompts, outs):
+        st = solo.encode(jnp.asarray(prompt)[None])
+        st, stats = solo.generate(st)
+        n = int(np.asarray(stats["num_committed"])[0])
+        ref = np.asarray(stats["output"])[0, :n]
+        np.testing.assert_array_equal(out, ref)
