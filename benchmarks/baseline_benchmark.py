@@ -26,6 +26,7 @@ def main():
     p.add_argument("--num_batches", type=int, default=4)
     p.add_argument("--warmup_batches", type=int, default=2)
     args = p.parse_args()
+    common.apply_platform(args)
 
     from magicdec_tpu.config import ModelConfig
     from magicdec_tpu.engine.engine import EngineConfig, SpecEngine

@@ -33,7 +33,18 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="mesh model axis (reference: --rank_group TP width)")
     p.add_argument("--compile", action="store_true",
                    help="accepted for reference-CLI parity; jit is always on")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="cpu: force the host backend (smoke runs). The "
+                        "JAX_PLATFORMS env var is NOT honored in this "
+                        "environment — sitecustomize re-pins it at interpreter "
+                        "start, so only jax.config.update works")
     return p
+
+
+def apply_platform(args):
+    """Call first thing in every driver main(), before any jax computation."""
+    if getattr(args, "platform", "default") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
 
 def load_params_and_config(model: str, dtype=jnp.bfloat16):

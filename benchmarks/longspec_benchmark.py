@@ -35,6 +35,7 @@ def main():
     p.add_argument("--num_batches", type=int, default=4)
     p.add_argument("--warmup_batches", type=int, default=2)
     args = p.parse_args()
+    common.apply_platform(args)
 
     from magicdec_tpu.engine.engine import EngineConfig, LongSpecEngine
     from magicdec_tpu.utils.seeding import setup_seed

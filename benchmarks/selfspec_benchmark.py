@@ -31,6 +31,7 @@ def main():
     p.add_argument("--num_batches", type=int, default=4)
     p.add_argument("--warmup_batches", type=int, default=2)
     args = p.parse_args()
+    common.apply_platform(args)
 
     # reference shape contracts (selfspec:36-40)
     assert args.prefix_len < args.max_len
