@@ -61,6 +61,8 @@ def main():
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None)
     p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8 target KV cache (halves decode HBM traffic)")
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -81,7 +83,8 @@ def main():
         max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 511) // 512) * 512,
         chunk_size=128, prefill_chunk_size=args.prefill_chunk,
         max_gen=args.max_gen, eot_ids=(-1,),
-        cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend)
+        cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
+        kv_quant=args.kv_quant)
     engine = SpecEngine(params, cfg, ecfg)
 
     rng = np.random.RandomState(0)
@@ -124,6 +127,7 @@ def main():
     print(f"[bench] autoregressive: {base_tps:.1f} tok/s", file=sys.stderr)
 
     qtag = f"_{args.quantize}" if args.quantize else ""
+    qtag += "_kvq" if args.kv_quant else ""
     print(json.dumps({
         "metric": f"selfspec_{args.mode}_tokens_per_s_{args.model}{qtag}_B{args.B}_ctx{prefix}",
         "value": round(spec_tps, 2),

@@ -55,6 +55,10 @@ class EngineConfig:
     eot_ids: Tuple[int, ...] = (-1,)
     cache_dtype: Any = jnp.bfloat16
     attn_backend: str = "jnp"          # "jnp" | "flash" (Pallas TPU kernels)
+    kv_quant: bool = False             # int8 target KV cache (per-token/head
+                                       # scales): halves decode HBM traffic —
+                                       # the long-context bottleneck. Draft
+                                       # cache stays in cache_dtype.
 
 
 class SpecEngine:
@@ -85,12 +89,14 @@ class SpecEngine:
             S.validate_mesh(cfg, mesh, axes)
             self.params = S.shard_params(params, cfg, mesh, axes)
             self._spec_shardings = S._to_shardings(
-                S.spec_state_pspecs(axes, daxes), mesh)
+                S.spec_state_pspecs(axes, daxes, kv_quant=ecfg.kv_quant), mesh)
             self._baseline_shardings = S._to_shardings(
-                S.baseline_state_pspecs(axes), mesh)
+                S.baseline_state_pspecs(axes, kv_quant=ecfg.kv_quant), mesh)
             self._cache_sharding = jax.sharding.NamedSharding(mesh, S.cache_pspec(axes))
             self._draft_cache_sharding = jax.sharding.NamedSharding(
                 mesh, S.cache_pspec(daxes))
+            self._scale_sharding = jax.sharding.NamedSharding(
+                mesh, S.scale_pspec(axes))
 
     # ------------------------------------------------------------------
     # allocation
@@ -110,18 +116,43 @@ class SpecEngine:
         from magicdec_tpu.parallel import sharding as S
         return S.model_axes_of(mesh)
 
+    def _zero_target_caches(self, B: int) -> dict:
+        """Target cache dict: {'k','v'} bf16, plus {'ks','vs'} scale arrays
+        when kv_quant (int8 data, f32 per-(token, head) scales)."""
+        e, cfg = self.ecfg, self.cfg
+        shape = self._cache_shape(B, e.max_seq_len)
+        dt = jnp.int8 if e.kv_quant else e.cache_dtype
+        k = jnp.zeros(shape, dt)
+        caches = {"k": k, "v": jnp.zeros_like(k)}
+        if e.kv_quant:
+            s = jnp.zeros((cfg.n_layer, B, cfg.n_kv_head, e.max_seq_len),
+                          jnp.float32)
+            caches.update(ks=s, vs=jnp.zeros_like(s))
+        if self.mesh is not None:
+            caches["k"] = jax.lax.with_sharding_constraint(caches["k"], self._cache_sharding)
+            caches["v"] = jax.lax.with_sharding_constraint(caches["v"], self._cache_sharding)
+            if e.kv_quant:
+                caches["ks"] = jax.lax.with_sharding_constraint(caches["ks"], self._scale_sharding)
+                caches["vs"] = jax.lax.with_sharding_constraint(caches["vs"], self._scale_sharding)
+        return caches
+
     def _zero_caches(self, B: int):
+        """(target cache dict, draft cache dict)."""
         e, dt = self.ecfg, self.ecfg.cache_dtype
-        k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
-        v = jnp.zeros_like(k)
         dk = jnp.zeros(self._cache_shape(B, self._draft_cap, self._draft_cfg()), dt)
         dv = jnp.zeros_like(dk)
         if self.mesh is not None:
-            k = jax.lax.with_sharding_constraint(k, self._cache_sharding)
-            v = jax.lax.with_sharding_constraint(v, self._cache_sharding)
             dk = jax.lax.with_sharding_constraint(dk, self._draft_cache_sharding)
             dv = jax.lax.with_sharding_constraint(dv, self._draft_cache_sharding)
-        return k, v, dk, dv
+        return self._zero_target_caches(B), {"dk": dk, "dv": dv}
+
+    @staticmethod
+    def _state_tcaches(st) -> dict:
+        """The target-cache dict carried in a state pytree."""
+        c = {"k": st.k, "v": st.v}
+        if st.ks is not None:
+            c.update(ks=st.ks, vs=st.vs)
+        return c
 
     # ------------------------------------------------------------------
     # prefill (encode)
@@ -174,11 +205,10 @@ class SpecEngine:
                 f"snapkv prefill requires prefix ≡ window (mod {C})"
 
             def encode(params, tokens):
-                k, v, dk, dv = self._zero_caches(B)
-                caches = {"k": k, "v": v}
+                tcaches, dcaches = self._zero_caches(B)
                 caches, lens, _ = target_prefill(params, tokens[:, :-e.window_size],
-                                                 caches)
-                caches = {**caches, "dk": dk, "dv": dv}
+                                                 tcaches)
+                caches = {**caches, **dcaches}
                 toks, caches = M.forward_prefill_snapkv_last(
                     params, cfg, tokens[:, prefix - e.window_size:], lens, caches,
                     ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
@@ -191,12 +221,11 @@ class SpecEngine:
                                          draft_pos=lens)
         else:
             def encode(params, tokens):
-                k, v, dk, dv = self._zero_caches(B)
-                caches, lens, x_last = target_prefill(params, tokens, {"k": k, "v": v})
+                tcaches, dcaches = self._zero_caches(B)
+                caches, lens, x_last = target_prefill(params, tokens, tcaches)
                 token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
 
                 # second pass: draft prefill with sink+window eviction
-                dcaches = {"dk": dk, "dv": dv}
                 n_full = prefix // C
                 rem = prefix - n_full * C
                 fill = jnp.zeros((), jnp.int32)
@@ -231,6 +260,7 @@ class SpecEngine:
         output = jnp.zeros((B, self._out_cap), jnp.int32)
         db_tokens = jnp.stack([token0, jnp.zeros_like(token0)], axis=1)
         return SpecState(
+            ks=caches.get("ks"), vs=caches.get("vs"),
             k=caches["k"], v=caches["v"], target_lens=lens,
             dk=caches["dk"], dv=caches["dv"],
             draft_fill=draft_fill, draft_pos=draft_pos,
@@ -334,6 +364,7 @@ class SpecEngine:
 
         st = st.replace(
             k=caches["k"], v=caches["v"], dk=caches["dk"], dv=caches["dv"],
+            ks=caches.get("ks"), vs=caches.get("vs"),
             target_lens=st.target_lens + accept,
             draft_fill=new_fill, draft_pos=new_pos,
             token0=token0, output=output, num_committed=committed,
@@ -364,7 +395,7 @@ class SpecEngine:
         tokens_buffer = jnp.concatenate(
             [st.token0[:, None], jnp.moveaxis(drafted, 0, 1)], axis=1)
 
-        caches = {"k": st.k, "v": st.v, "dk": dk, "dv": dv}
+        caches = {**self._state_tcaches(st), "dk": dk, "dv": dv}
         target_tokens, caches = M.forward_verify_snapkv(
             params, cfg, tokens_buffer, st.target_lens, f0, caches,
             backend=e.attn_backend)
@@ -416,7 +447,7 @@ class SpecEngine:
         drafted = jnp.concatenate([tok1[:, None], jnp.moveaxis(drafted, 0, 1)], axis=1)
         tokens_buffer = jnp.concatenate([st.token0[:, None], drafted], axis=1)
 
-        caches = {"k": st.k, "v": st.v}
+        caches = self._state_tcaches(st)
         target_tokens, caches = M.forward_target(
             params, cfg, tokens_buffer, st.target_lens, caches,
             backend=e.attn_backend)
@@ -444,10 +475,7 @@ class SpecEngine:
         C = e.prefill_chunk_size or e.chunk_size
 
         def encode(params, tokens):
-            dt = e.cache_dtype
-            k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
-            v = jnp.zeros_like(k)
-            caches = {"k": k, "v": v}
+            caches = self._zero_target_caches(B)
             n_full, rem = prefix // C, prefix % C
             lens = jnp.zeros((B,), jnp.int32)
             x_last = None
@@ -471,7 +499,8 @@ class SpecEngine:
             token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
             output = jnp.zeros((B, self._out_cap), jnp.int32)
             output = spec_ops.write_at(output, jnp.zeros((B,), jnp.int32), token0)
-            return BaselineState(k=caches["k"], v=caches["v"], lens=lens,
+            return BaselineState(ks=caches.get("ks"), vs=caches.get("vs"),
+                                 k=caches["k"], v=caches["v"], lens=lens,
                                  token0=token0, output=output,
                                  num_committed=jnp.ones((B,), jnp.int32))
 
@@ -491,19 +520,21 @@ class SpecEngine:
 
         def gen(params, st: BaselineState) -> BaselineState:
             def body(carry, _):
-                k, v, lens, tok, out, n = carry
+                caches, lens, tok, out, n = carry
                 nxt, caches = M.forward_target(params, cfg, tok[:, None], lens,
-                                               {"k": k, "v": v},
+                                               caches,
                                                backend=self.ecfg.attn_backend)
                 nxt = nxt[:, 0]
                 out = spec_ops.write_at(out, n, nxt)
-                return (caches["k"], caches["v"], lens + 1, nxt, out, n + 1), None
+                return (caches, lens + 1, nxt, out, n + 1), None
 
-            (k, v, lens, tok, out, n), _ = jax.lax.scan(
-                body, (st.k, st.v, st.lens, st.token0, st.output, st.num_committed),
+            (caches, lens, tok, out, n), _ = jax.lax.scan(
+                body, (self._state_tcaches(st), st.lens, st.token0, st.output,
+                       st.num_committed),
                 None, length=max_new - 1)
-            return BaselineState(k=k, v=v, lens=lens, token0=tok, output=out,
-                                 num_committed=n)
+            return BaselineState(ks=caches.get("ks"), vs=caches.get("vs"),
+                                 k=caches["k"], v=caches["v"], lens=lens,
+                                 token0=tok, output=out, num_committed=n)
 
         return jax.jit(gen, donate_argnums=(1,))
 
@@ -594,10 +625,8 @@ class LongSpecEngine(SpecEngine):
             params, draft_params = params_pair
             e_ = e
             dt = e.cache_dtype
-            k = jnp.zeros(self._cache_shape(B, e.max_seq_len), dt)
-            v = jnp.zeros_like(k)
             caches, lens, x_last = chunked_prefill(params, cfg, tokens,
-                                                   {"k": k, "v": v})
+                                                   self._zero_target_caches(B))
             token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
 
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)

@@ -78,13 +78,15 @@ class ServingEngine(SpecEngine):
 
     def init_serving(self, B: int, prefix: int) -> ServingState:
         """Empty batch of B slots sized for `prefix`-length prompts."""
-        k, v, dk, dv = self._zero_caches(B)
+        tcaches, dcaches = self._zero_caches(B)
 
         def zeros():  # distinct buffers: donation rejects aliased arguments
             return jnp.zeros((B,), jnp.int32)
 
         spec = SpecState(
-            k=k, v=v, target_lens=zeros(), dk=dk, dv=dv,
+            k=tcaches["k"], v=tcaches["v"],
+            ks=tcaches.get("ks"), vs=tcaches.get("vs"),
+            target_lens=zeros(), dk=dcaches["dk"], dv=dcaches["dv"],
             draft_fill=zeros(), draft_pos=zeros(), token0=zeros(),
             output=jnp.zeros((B, self._out_cap), jnp.int32),
             num_committed=zeros(), target_steps=jnp.zeros((), jnp.int32),
@@ -110,6 +112,11 @@ class ServingEngine(SpecEngine):
                 dk=jax.lax.dynamic_update_index_in_dim(spec.dk, st1.dk[:, 0], slot, 1),
                 dv=jax.lax.dynamic_update_index_in_dim(spec.dv, st1.dv[:, 0], slot, 1),
             )
+            if spec.ks is not None:  # int8 target-cache scales [L, B, H, S]
+                upd["ks"] = jax.lax.dynamic_update_index_in_dim(
+                    spec.ks, st1.ks[:, 0], slot, 1)
+                upd["vs"] = jax.lax.dynamic_update_index_in_dim(
+                    spec.vs, st1.vs[:, 0], slot, 1)
             for name in ("target_lens", "draft_fill", "draft_pos", "token0",
                          "num_committed"):
                 upd[name] = getattr(spec, name).at[slot].set(

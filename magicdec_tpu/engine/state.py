@@ -40,6 +40,10 @@ class SpecState:
     # StreamingLLM double-buffer carry (fixed shape; unused by SnapKV)
     db_tokens: Optional[jnp.ndarray] = None   # [B, 2]
     db_update: Optional[jnp.ndarray] = None   # [B] in {1, 2}
+    # int8 target-cache scales [L, B, H_kv, S] (EngineConfig.kv_quant;
+    # None for bf16 caches). ops.kv_cache.quantize_kv_tokens layout.
+    ks: Optional[jnp.ndarray] = None
+    vs: Optional[jnp.ndarray] = None
 
 
 @flax.struct.dataclass
@@ -52,3 +56,5 @@ class BaselineState:
     token0: jnp.ndarray
     output: jnp.ndarray
     num_committed: jnp.ndarray
+    ks: Optional[jnp.ndarray] = None  # int8-cache scales, as in SpecState
+    vs: Optional[jnp.ndarray] = None

@@ -197,15 +197,34 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     def builder(cfg, inv_freq):
         def hook(x_norm, wl, cache_l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
-            out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
+            out, new_cache = _target_attend(q, k, v, cache_l, base_lens,
+                                            backend=backend)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {"k": kc, "v": vc}
+            return y, new_cache
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder,
                            return_logits=return_logits, head=head)
+
+
+def _target_attend(q, k, v, cache_l, base_lens, *, backend):
+    """Append + attend on the target cache, bf16 or int8-quantized.
+
+    A quantized target cache carries per-(token, head) scales under 'ks'/'vs'
+    (ops.kv_cache.append_kv_quant); the branch is on pytree structure, so it is
+    resolved at trace time.
+    """
+    if "ks" in cache_l:
+        kc, vc, ks, vs = kv_ops.append_kv_quant(
+            cache_l["k"], cache_l["v"], cache_l["ks"], cache_l["vs"],
+            k, v, base_lens)
+        out = attn_ops.attend_auto_quant(q, kc, ks, vc, vs, base_lens,
+                                         backend=backend)
+        return out, {"k": kc, "v": vc, "ks": ks, "vs": vs}
+    kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
+    out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
+    return out, {"k": kc, "v": vc}
 
 
 def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
@@ -225,12 +244,14 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     def builder(cfg, inv_freq):
         def hook(x_norm, wl, cache_l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
+            tcache = {n: cache_l[n] for n in cache_l if n in ("k", "v", "ks", "vs")}
+            out, new_t = _target_attend(q, k, v, tcache, base_lens,
+                                        backend=backend)
+            # draft cache stays bf16 (it is budget-sized, not bandwidth-bound)
             dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
-            out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
+            return y, {**new_t, "dk": dk, "dv": dv}
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder)
@@ -257,8 +278,15 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
     def builder(cfg, inv_freq):
         def hook(x_norm, wl, cache_l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
-            out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
+            tcache = {n: cache_l[n] for n in cache_l if n in ("k", "v", "ks", "vs")}
+            out, new_t = _target_attend(q, k, v, tcache, base_lens,
+                                        backend=backend)
+            kc, vc = new_t["k"], new_t["v"]
+            if "ks" in new_t:
+                # compression scores/gathers need dense values; one-time
+                # (prefill-only) dequant of the full target cache
+                kc = kv_ops.dequant_kv(kc, new_t["ks"], cfg.head_dim, q.dtype)
+                vc = kv_ops.dequant_kv(vc, new_t["vs"], cfg.head_dim, q.dtype)
             q_win = q[:, -window:]
             dk_new, dv_new = snapkv_compress(
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
@@ -270,7 +298,7 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
                 dv_new.reshape(Bq, budget, -1).astype(cache_l["dv"].dtype))
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {"k": kc, "v": vc, "dk": dk, "dv": dv}
+            return y, {**new_t, "dk": dk, "dv": dv}
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder)

@@ -58,6 +58,57 @@ def attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     return out.reshape(B, T, Hq, D).astype(q.dtype)
 
 
+def attend_quant(q: jnp.ndarray, k_cache: jnp.ndarray, k_scale: jnp.ndarray,
+                 v_cache: jnp.ndarray, v_scale: jnp.ndarray,
+                 base_lens: jnp.ndarray, *, causal: bool = True) -> jnp.ndarray:
+    """jnp oracle for int8-KV attention: dequantize + attend.
+
+    k_cache/v_cache int8 [B, S, H_kv*hd]; k_scale/v_scale f32 [B, H_kv, S]
+    (ops.kv_cache.quantize_kv_tokens layout).  XLA fuses the dequant multiply
+    into the score/output dots; the Pallas decode kernel instead applies the
+    scales around its dots without materialising dequantized KV.
+    """
+    from magicdec_tpu.ops import kv_cache as kv_ops
+
+    hd = q.shape[-1]
+    kd = kv_ops.dequant_kv(k_cache, k_scale, hd)
+    vd = kv_ops.dequant_kv(v_cache, v_scale, hd)
+    return attend(q, kd, vd, base_lens, causal=causal)
+
+
+def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
+                      backend: str = "jnp") -> jnp.ndarray:
+    """Causal int8-KV attention with backend dispatch (quantized counterpart
+    of attend_auto)."""
+    if backend == "flash":
+        S = k_cache.shape[1]
+        T = q.shape[1]
+        block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
+        if block_s is not None:
+            if T <= 16:
+                from magicdec_tpu.ops.pallas.decode_attention import (
+                    flash_decode_attend_quant)
+                return flash_decode_attend_quant(q, k_cache, k_scale, v_cache,
+                                                 v_scale, base_lens,
+                                                 block_s=block_s)
+            G = q.shape[2] * q.shape[3] // k_cache.shape[2]
+            if (G * T) % 128 == 0:
+                # prefill chunks: dequantize per layer and reuse the bf16
+                # flash kernel (one-time cost; the jnp oracle would
+                # materialise a [B, H, T, S] fp32 score tensor instead)
+                from magicdec_tpu.ops import kv_cache as kv_ops
+                from magicdec_tpu.ops.pallas.prefill_attention import (
+                    flash_prefill_attend)
+                hd = q.shape[-1]
+                kd = kv_ops.dequant_kv(k_cache, k_scale, hd, q.dtype)
+                vd = kv_ops.dequant_kv(v_cache, v_scale, hd, q.dtype)
+                return flash_prefill_attend(q, kd, vd, base_lens,
+                                            block_s=block_s,
+                                            block_r=min(512, G * T))
+    return attend_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens,
+                        causal=True)
+
+
 def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                 base_lens: jnp.ndarray, *, backend: str = "jnp") -> jnp.ndarray:
     """Causal attention with backend dispatch.

@@ -53,6 +53,60 @@ def append_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     return k_cache, v_cache
 
 
+def quantize_kv_tokens(x: jnp.ndarray):
+    """Per-(token, kv-head) symmetric int8 quantization of new KV entries.
+
+    x: [B, T, H_kv, hd] -> (q int8 [B, T, H_kv*hd], scale f32 [B, H_kv, T]).
+    The scale layout keeps the cache-length axis minor so the [L, B, H_kv, S]
+    scale array tiles on TPU without lane padding and slices into the decode
+    kernel as a lane row vector (ops/pallas/decode_attention.py).
+
+    No reference equivalent — the reference keeps bf16 caches; this is the
+    TPU-native answer to decode being KV-bandwidth-bound (MagicDec §1,
+    arXiv:2408.11049): int8 halves the bytes the verify/decode kernels stream.
+    """
+    B, T = x.shape[:2]
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)                      # [B, T, H]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(B, T, -1), jnp.swapaxes(scale, 1, 2)
+
+
+def append_kv_quant(k_cache, v_cache, k_scale, v_scale, k_new, v_new,
+                    write_pos):
+    """append_kv for int8 caches: quantize the T new tokens and write data +
+    scales at per-request positions.
+
+    k_cache/v_cache: int8 [B, S, H_kv*hd]; k_scale/v_scale: f32 [B, H_kv, S];
+    k_new/v_new: [B, T, H_kv, hd] (bf16/f32); write_pos: [B] int32.
+    """
+    kq, ks_new = quantize_kv_tokens(k_new)
+    vq, vs_new = quantize_kv_tokens(v_new)
+
+    def _upd(cache_b, new_b, pos_b):
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (pos_b, 0))
+
+    def _upd_scale(s_b, new_b, pos_b):
+        return jax.lax.dynamic_update_slice(s_b, new_b, (0, pos_b))
+
+    k_cache = jax.vmap(_upd)(k_cache, kq, write_pos)
+    v_cache = jax.vmap(_upd)(v_cache, vq, write_pos)
+    k_scale = jax.vmap(_upd_scale)(k_scale, ks_new, write_pos)
+    v_scale = jax.vmap(_upd_scale)(v_scale, vs_new, write_pos)
+    return k_cache, v_cache, k_scale, v_scale
+
+
+def dequant_kv(cache: jnp.ndarray, scale: jnp.ndarray, head_dim: int,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """int8 [B, S, H*hd] x f32 [B, H, S] -> [B, S, H*hd] in `dtype`."""
+    B, S, K = cache.shape
+    H = K // head_dim
+    x = cache.reshape(B, S, H, head_dim).astype(jnp.float32)
+    x = x * jnp.swapaxes(scale, 1, 2)[..., None]
+    return x.reshape(B, S, K).astype(dtype)
+
+
 def gather_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray, indices: jnp.ndarray,
               n_kv: int):
     """Gather per-(batch, kv-head) cache entries.

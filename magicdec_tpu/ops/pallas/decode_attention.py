@@ -86,6 +86,131 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
                 acc_scr[h] / jnp.maximum(l_scr[h], 1e-30)).astype(o_ref.dtype)
 
 
+def _decode_quant_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                         m_scr, l_scr, acc_scr, *, T: int, block_s: int,
+                         scale: float, n_kv: int, hd: int):
+    """int8-KV flash decode: KV blocks stream as int8 (half the HBM bytes of
+    bf16 — the decode bottleneck at long context); per-(token, head) scales
+    stream as [1, n_kv, block_s] f32 lane rows.  The k scale multiplies the
+    score row after the q.k dot; the v scale multiplies p before the p.v dot —
+    both lane-wise broadcasts, so no in-kernel transposes (Mosaic-safe).
+    int8 -> bf16 casts are exact (|q| <= 127)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nblocks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    base = lens_ref[b]
+    start = j * block_s
+    GT = q_ref.shape[1]
+
+    @pl.when(start < base + T)
+    def _compute():
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (GT, block_s), 1)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (GT, block_s), 0) % T
+        visible = col < base + row_t + 1
+        for h in range(n_kv):
+            q = q_ref[0, :, h * hd:(h + 1) * hd]                    # [GT, hd]
+            k = k_ref[0, :, h * hd:(h + 1) * hd].astype(q.dtype)    # [BS, hd]
+            v = v_ref[0, :, h * hd:(h + 1) * hd].astype(q.dtype)
+            ksc = ks_ref[0, h, :]                                    # [BS] f32
+            vsc = vs_ref[0, h, :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (ksc * scale)[None, :]
+            s = jnp.where(visible, s, NEG_INF)
+
+            m_prev = m_scr[h]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[h] = l_scr[h] * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[h] = acc_scr[h] * corr + jax.lax.dot_general(
+                (p * vsc[None, :]).astype(v.dtype), v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[h] = m_new
+
+    @pl.when(j == nblocks - 1)
+    def _finish():
+        for h in range(n_kv):
+            o_ref[0, :, h * hd:(h + 1) * hd] = (
+                acc_scr[h] / jnp.maximum(l_scr[h], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def flash_decode_attend_quant(q: jnp.ndarray, k_cache: jnp.ndarray,
+                              k_scale: jnp.ndarray, v_cache: jnp.ndarray,
+                              v_scale: jnp.ndarray, base_lens: jnp.ndarray, *,
+                              block_s: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """flash_decode_attend over int8 caches with per-(token, head) scales.
+
+    q: [B, T, Hq, hd]; k_cache/v_cache: int8 [B, S, Hkv*hd];
+    k_scale/v_scale: f32 [B, Hkv, S] (ops.kv_cache.quantize_kv_tokens layout);
+    base_lens: [B] int32.  Requires S % block_s == 0.
+    """
+    B, T, Hq, hd = q.shape
+    S, K = k_cache.shape[1], k_cache.shape[2]
+    Hkv = K // hd
+    G = Hq // Hkv
+    GT = G * T
+    assert S % block_s == 0, (S, block_s)
+    nblocks = S // block_s
+
+    qg = (q.reshape(B, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4)
+          .reshape(B, Hkv, GT, hd).transpose(0, 2, 1, 3).reshape(B, GT, K))
+    lens = base_lens.astype(jnp.int32)
+
+    def q_map(b, j, lens_ref):
+        return (b, 0, 0)
+
+    def kv_map(b, j, lens_ref):
+        last = jnp.maximum(lens_ref[b] + T - 1, 0) // block_s
+        return (b, jnp.minimum(j, last), 0)
+
+    def scale_map(b, j, lens_ref):
+        last = jnp.maximum(lens_ref[b] + T - 1, 0) // block_s
+        return (b, 0, jnp.minimum(j, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, GT, K), q_map),
+            pl.BlockSpec((1, block_s, K), kv_map),
+            pl.BlockSpec((1, block_s, K), kv_map),
+            pl.BlockSpec((1, Hkv, block_s), scale_map),
+            pl.BlockSpec((1, Hkv, block_s), scale_map),
+        ],
+        out_specs=pl.BlockSpec((1, GT, K), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, GT, 1), jnp.float32),
+            pltpu.VMEM((Hkv, GT, 1), jnp.float32),
+            pltpu.VMEM((Hkv, GT, hd), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(_decode_quant_kernel, T=T, block_s=block_s,
+                               scale=1.0 / (hd ** 0.5), n_kv=Hkv, hd=hd)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, GT, K), q.dtype),
+        interpret=interpret,
+    )(lens, qg, k_cache, v_cache, k_scale, v_scale)
+
+    return (out.reshape(B, GT, Hkv, hd).transpose(0, 2, 1, 3)
+            .reshape(B, Hkv, G, T, hd).transpose(0, 3, 1, 2, 4)
+            .reshape(B, T, Hq, hd))
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def flash_decode_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                         base_lens: jnp.ndarray, *, block_s: int = 512,

@@ -101,7 +101,15 @@ def cache_pspec(axes=("model",)) -> P:
     return P(None, "data", None, m)
 
 
-def spec_state_pspecs(axes=("model",), draft_axes=None) -> Any:
+def scale_pspec(axes=("model",)) -> P:
+    """int8-cache scale arrays [L, B, H_kv, S]: batch on data, kv-head axis on
+    the model axes (each shard owns the scales of its own heads)."""
+    m = axes if len(axes) > 1 else axes[0]
+    return P(None, "data", m, None)
+
+
+def spec_state_pspecs(axes=("model",), draft_axes=None,
+                      kv_quant: bool = False) -> Any:
     """PartitionSpecs for engine.state.SpecState fields.  draft caches may be
     sharded over a sub-axis of the target's model axes (draft sub-mesh)."""
     from magicdec_tpu.engine.state import SpecState
@@ -114,15 +122,19 @@ def spec_state_pspecs(axes=("model",), draft_axes=None) -> Any:
         token0=b, output=P("data", None),
         num_committed=b, target_steps=P(), done=P(),
         db_tokens=P("data", None), db_update=b,
+        ks=scale_pspec(axes) if kv_quant else None,
+        vs=scale_pspec(axes) if kv_quant else None,
     )
 
 
-def baseline_state_pspecs(axes=("model",)) -> Any:
+def baseline_state_pspecs(axes=("model",), kv_quant: bool = False) -> Any:
     from magicdec_tpu.engine.state import BaselineState
 
     b = P("data")
     return BaselineState(k=cache_pspec(axes), v=cache_pspec(axes), lens=b,
-                         token0=b, output=P("data", None), num_committed=b)
+                         token0=b, output=P("data", None), num_committed=b,
+                         ks=scale_pspec(axes) if kv_quant else None,
+                         vs=scale_pspec(axes) if kv_quant else None)
 
 
 def _to_shardings(tree_pspecs, mesh: Mesh):

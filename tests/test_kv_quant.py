@@ -1,0 +1,154 @@
+"""int8 KV cache (EngineConfig.kv_quant): quantized append/attend numerics,
+Pallas kernel parity, and the golden gates with a quantized target cache.
+
+No reference equivalent — the reference keeps bf16 caches; this is the
+TPU-native answer to decode being KV-bandwidth-bound (SURVEY.md §6: speedups
+grow with batch/context because verify streams the whole cache)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
+from magicdec_tpu.ops import kv_cache as kv_ops
+from magicdec_tpu.ops.attention import attend, attend_quant
+from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend_quant
+from tests.test_spec_parity import CFG, PARAMS, _prompt
+
+
+def _quantize_full(x, n_kv):
+    """Quantize an entire [B, S, K] cache (helper via the token quantizer)."""
+    B, S, K = x.shape
+    return kv_ops.quantize_kv_tokens(x.reshape(B, S, n_kv, K // n_kv))
+
+
+def test_quant_roundtrip_error_bounded():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 4, 64) * 3.0, jnp.float32)
+    q, s = kv_ops.quantize_kv_tokens(x)
+    deq = kv_ops.dequant_kv(q, s, 64)
+    err = np.abs(np.asarray(deq).reshape(x.shape) - np.asarray(x))
+    # per-(token, head) scale: error <= scale/2 = amax/254 per entry
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (err <= amax / 254 + 1e-6).all()
+
+
+def test_append_kv_quant_positions():
+    B, S, H, hd = 2, 32, 2, 8
+    kc = jnp.zeros((B, S, H * hd), jnp.int8)
+    ks = jnp.zeros((B, H, S), jnp.float32)
+    rng = np.random.RandomState(1)
+    k_new = jnp.asarray(rng.randn(B, 3, H, hd), jnp.float32)
+    pos = jnp.asarray([4, 20], jnp.int32)
+    kc2, _, ks2, _ = kv_ops.append_kv_quant(kc, kc, ks, ks, k_new, k_new, pos)
+    deq = np.asarray(kv_ops.dequant_kv(kc2, ks2, hd))
+    for b, p in enumerate([4, 20]):
+        np.testing.assert_allclose(deq[b, p:p + 3].reshape(3, H, hd),
+                                   np.asarray(k_new)[b], atol=0.05)
+        assert (deq[b, :p] == 0).all() and (deq[b, p + 3:] == 0).all()
+
+
+def test_attend_quant_equals_attend_on_dequant():
+    rng = np.random.RandomState(2)
+    B, T, Hkv, G, S, hd = 2, 3, 2, 2, 64, 32
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([10, S - T], jnp.int32)
+    kq, ksc = _quantize_full(k, Hkv)
+    vq, vsc = _quantize_full(v, Hkv)
+    out = attend_quant(q, kq, ksc, vq, vsc, base)
+    ref = attend(q, kv_ops.dequant_kv(kq, ksc, hd),
+                 kv_ops.dequant_kv(vq, vsc, hd), base)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # and close to the unquantized attention
+    full = attend(q, k, v, base)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=0.05)
+
+
+@pytest.mark.parametrize("T,G,hd,block_s", [
+    (1, 4, 64, 64),    # plain decode
+    (4, 4, 64, 64),    # verify window
+    (2, 1, 128, 128),  # MHA, big head
+])
+def test_flash_decode_quant_matches_oracle(T, G, hd, block_s):
+    rng = np.random.RandomState(3)
+    B, Hkv, S = 3, 2, 256
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([17, 100, 256 - T], jnp.int32)
+    kq, ksc = _quantize_full(k, Hkv)
+    vq, vsc = _quantize_full(v, Hkv)
+    ref = attend_quant(q, kq, ksc, vq, vsc, base)
+    out = flash_decode_attend_quant(q, kq, ksc, vq, vsc, base,
+                                    block_s=block_s, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def _ecfg(mode, **kw):
+    base = dict(mode=mode, gamma=3, draft_budget=33, max_seq_len=256,
+                chunk_size=16, window_size=8, sink_size=4, max_gen=20,
+                eot_ids=(-1,), cache_dtype=jnp.float32, kv_quant=True)
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+@pytest.mark.parametrize("mode,prefix", [("streamingllm", 96), ("snapkv", 104)])
+def test_spec_parity_with_quantized_cache(mode, prefix):
+    """Golden gate under kv_quant: greedy spec must reproduce greedy
+    autoregressive decoding, BOTH running on the int8 target cache (the
+    quantized model defines its own greedy trajectory)."""
+    B, max_gen = 2, 20
+    engine = SpecEngine(PARAMS, CFG, _ecfg(mode))
+    prompt = _prompt(B, prefix, seed=9)
+
+    bst = engine.encode_baseline(prompt)
+    _, bstats = engine.generate_baseline(bst, max_new=max_gen)
+    ref = np.asarray(bstats["output"][:, :max_gen])
+
+    st = engine.encode(prompt)
+    st, stats = engine.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= max_gen
+    for b in range(B):
+        m = min(int(n[b]), max_gen)
+        np.testing.assert_array_equal(
+            out[b, :m], ref[b, :m],
+            err_msg=f"kv_quant spec parity broken ({mode})")
+
+
+def test_serving_with_quantized_cache_matches_solo():
+    """Admission splices the int8 cache AND its scale planes per slot."""
+    from magicdec_tpu.engine.serving import ServingEngine
+
+    ecfg = _ecfg("streamingllm", max_gen=10)
+    rng = np.random.RandomState(6)
+    prompts = [rng.randint(0, CFG.vocab_size, size=48).astype(np.int32)
+               for _ in range(3)]
+    engine = ServingEngine(PARAMS, CFG, ecfg)
+    outs = engine.serve(prompts, B=2, windows_per_sync=2)
+    solo = SpecEngine(PARAMS, CFG, ecfg)
+    for prompt, out in zip(prompts, outs):
+        st = solo.encode(jnp.asarray(prompt)[None])
+        st, stats = solo.generate(st)
+        n = int(np.asarray(stats["num_committed"])[0])
+        np.testing.assert_array_equal(out, np.asarray(stats["output"])[0, :n])
+
+
+def test_quantized_cache_close_to_bf16_trajectory():
+    """The int8-cache greedy continuation should mostly agree with the
+    full-precision one over a short horizon (numeric sanity, not a gate)."""
+    B, prefix, max_gen = 2, 96, 12
+    full = SpecEngine(PARAMS, CFG, _ecfg("streamingllm", kv_quant=False))
+    quant = SpecEngine(PARAMS, CFG, _ecfg("streamingllm"))
+    prompt = _prompt(B, prefix, seed=10)
+    _, sf = full.generate_baseline(full.encode_baseline(prompt), max_new=max_gen)
+    _, sq = quant.generate_baseline(quant.encode_baseline(prompt), max_new=max_gen)
+    a = np.asarray(sf["output"][:, :max_gen])
+    b = np.asarray(sq["output"][:, :max_gen])
+    agree = (a == b).mean()
+    assert agree > 0.5, f"suspiciously low agreement {agree}"
