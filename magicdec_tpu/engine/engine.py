@@ -76,6 +76,12 @@ class SpecEngine:
         self.ecfg = ecfg
         if ecfg.mode not in self.ALLOWED_MODES:
             raise ValueError(ecfg.mode)
+        if (ecfg.mode == "streamingllm"
+                and ecfg.draft_budget - ecfg.sink_size < ecfg.chunk_size):
+            raise ValueError(
+                f"streamingllm eviction needs draft_budget - sink_size >= "
+                f"chunk_size (got {ecfg.draft_budget} - {ecfg.sink_size} < "
+                f"{ecfg.chunk_size}); the reference uses budget = 128k+1")
         self._draft_cap = ecfg.draft_budget + _round_up(ecfg.max_gen + ecfg.gamma + 2, 128)
         self._out_cap = ecfg.max_gen + ecfg.gamma + 2
         self._eot = jnp.asarray(ecfg.eot_ids, dtype=jnp.int32)
