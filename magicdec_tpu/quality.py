@@ -28,7 +28,7 @@ from magicdec_tpu.models import llama as M
 
 @functools.lru_cache(maxsize=8)
 def _nll_fn(cfg: ModelConfig, B: int, S: int, C: int, backend: str,
-            cache_dtype_name: str):
+            cache_dtype_name: str, kv_quant: bool = False):
     """Jitted total-NLL over [B, S] windows, chunked by C tokens."""
     assert S % C == 0, (S, C)
     n = S // C
@@ -36,8 +36,11 @@ def _nll_fn(cfg: ModelConfig, B: int, S: int, C: int, backend: str,
 
     def run(params, tokens):
         k = jnp.zeros((cfg.n_layer, B, S, cfg.n_kv_head * cfg.head_dim),
-                      cache_dtype)
+                      jnp.int8 if kv_quant else cache_dtype)
         caches = {"k": k, "v": jnp.zeros_like(k)}
+        if kv_quant:
+            s = jnp.zeros((cfg.n_layer, B, cfg.n_kv_head, S), jnp.float32)
+            caches.update(ks=s, vs=jnp.zeros_like(s))
         xs_tok = jnp.moveaxis(tokens.reshape(B, n, C), 1, 0)
         # target for position p is tokens[p+1]; the final position has none
         tgt = jnp.concatenate([tokens[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
@@ -63,21 +66,24 @@ def _nll_fn(cfg: ModelConfig, B: int, S: int, C: int, backend: str,
 
 def perplexity(params, cfg: ModelConfig, data: np.ndarray, *,
                batch_size: int = 8, chunk_size: int = 512,
-               backend: str = "jnp",
-               cache_dtype=jnp.bfloat16) -> Tuple[float, float]:
+               backend: str = "jnp", cache_dtype=jnp.bfloat16,
+               kv_quant: bool = False) -> Tuple[float, float]:
     """Teacher-forced perplexity over ``data`` [N, S] token windows.
 
     Returns (ppl, nll_per_token).  Windows are evaluated independently (no
     cross-window context), matching the reference's PG-19 windowing
     (Data/data_converter.py:42-56).  Rows that don't fill a batch are dropped,
-    like the reference's ``drop_last=True`` loader.
+    like the reference's ``drop_last=True`` loader.  ``kv_quant`` evaluates
+    with the int8 KV cache (EngineConfig.kv_quant), so the cache-quantization
+    quality cost is measurable with the same gate as weight quantization.
     """
     data = np.asarray(data)
     N, S = data.shape
     assert S % chunk_size == 0 or S < chunk_size, \
         f"seq_len {S} must be a multiple of chunk_size {chunk_size}"
     C = min(chunk_size, S)
-    fn = _nll_fn(cfg, batch_size, S, C, backend, jnp.dtype(cache_dtype).name)
+    fn = _nll_fn(cfg, batch_size, S, C, backend, jnp.dtype(cache_dtype).name,
+                 kv_quant)
     total, count = 0.0, 0
     for i in range(0, N - batch_size + 1, batch_size):
         batch = jnp.asarray(data[i:i + batch_size], jnp.int32)

@@ -54,6 +54,18 @@ def test_partial_batches_dropped():
     assert ppl2 == ppl2_full  # row 5 dropped like the reference's drop_last
 
 
+def test_kv_quant_perplexity_gate():
+    """int8 KV cache (EngineConfig.kv_quant) must be nearly free in NLL."""
+    data = _windows(2, 64, seed=6)
+    _, nll_full = quality.perplexity(PARAMS, CFG, data, batch_size=2,
+                                     chunk_size=16, cache_dtype=jnp.float32)
+    _, nll_q = quality.perplexity(PARAMS, CFG, data, batch_size=2,
+                                  chunk_size=16, cache_dtype=jnp.float32,
+                                  kv_quant=True)
+    rel = abs(nll_q - nll_full) / nll_full
+    assert rel < 0.01, f"kv int8: nll {nll_full:.4f} -> {nll_q:.4f} ({rel:.3%})"
+
+
 @pytest.mark.parametrize("bits,tol", [(8, 0.02), (4, 0.25)])
 def test_quantization_perplexity_gate(bits, tol):
     """int8 per-channel must be nearly free; int4 group-wise bounded."""
