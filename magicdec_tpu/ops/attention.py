@@ -93,18 +93,12 @@ def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
                                                  block_s=block_s)
             G = q.shape[2] * q.shape[3] // k_cache.shape[2]
             if (G * T) % 128 == 0:
-                # prefill chunks: dequantize per layer and reuse the bf16
-                # flash kernel (one-time cost; the jnp oracle would
-                # materialise a [B, H, T, S] fp32 score tensor instead)
-                from magicdec_tpu.ops import kv_cache as kv_ops
                 from magicdec_tpu.ops.pallas.prefill_attention import (
-                    flash_prefill_attend)
-                hd = q.shape[-1]
-                kd = kv_ops.dequant_kv(k_cache, k_scale, hd, q.dtype)
-                vd = kv_ops.dequant_kv(v_cache, v_scale, hd, q.dtype)
-                return flash_prefill_attend(q, kd, vd, base_lens,
-                                            block_s=block_s,
-                                            block_r=min(512, G * T))
+                    flash_prefill_attend_quant)
+                return flash_prefill_attend_quant(q, k_cache, k_scale,
+                                                  v_cache, v_scale, base_lens,
+                                                  block_s=block_s,
+                                                  block_r=min(512, G * T))
     return attend_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens,
                         causal=True)
 

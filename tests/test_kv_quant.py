@@ -88,6 +88,25 @@ def test_flash_decode_quant_matches_oracle(T, G, hd, block_s):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_flash_prefill_quant_matches_oracle():
+    from magicdec_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attend_quant)
+
+    rng = np.random.RandomState(7)
+    B, Hkv, G, C, S, hd = 2, 2, 2, 64, 256, 64
+    q = jnp.asarray(rng.randn(B, C, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([32, S - C], jnp.int32)
+    kq, ksc = _quantize_full(k, Hkv)
+    vq, vsc = _quantize_full(v, Hkv)
+    ref = attend_quant(q, kq, ksc, vq, vsc, base)
+    out = flash_prefill_attend_quant(q, kq, ksc, vq, vsc, base,
+                                     block_s=64, block_r=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def _ecfg(mode, **kw):
     base = dict(mode=mode, gamma=3, draft_budget=33, max_seq_len=256,
                 chunk_size=16, window_size=8, sink_size=4, max_gen=20,

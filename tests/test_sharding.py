@@ -106,3 +106,44 @@ def test_longspec_draft_submesh_matches_single_device():
     _, tp_stats = tp.generate(st)
     np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
                                   np.asarray(tp_stats["output"]))
+
+
+def test_hybrid_mesh_engine_matches_single_device():
+    """multihost.make_hybrid_mesh (DCN-major data x ICI model) is just a Mesh;
+    on the 8-device CPU fake it must reproduce single-device outputs and
+    reject layouts whose model axis would span hosts."""
+    from magicdec_tpu.parallel import multihost as MH
+
+    mesh = MH.make_hybrid_mesh(model_axis=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        MH.make_hybrid_mesh(model_axis=3)
+
+    B, prefix = 4, 48
+    prompt = _prompt(B, prefix, seed=11)
+    ref = SpecEngine(PARAMS, CFG, _ecfg("streamingllm"))
+    _, ref_stats = ref.generate(ref.encode(prompt))
+    tp = SpecEngine(PARAMS, CFG, _ecfg("streamingllm"), mesh=mesh)
+    _, tp_stats = tp.generate(tp.encode(prompt))
+    np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
+                                  np.asarray(tp_stats["output"]))
+
+
+def test_kv_quant_sharded_matches_single_device():
+    """int8 target cache under TP: the scale planes [L, B, Hkv, S] shard on
+    the kv-head axis alongside the cache; outputs must equal 1-device."""
+    import dataclasses
+
+    ecfg = dataclasses.replace(_ecfg("streamingllm"), kv_quant=True)
+    B, prefix = 4, 48
+    prompt = _prompt(B, prefix, seed=12)
+    ref = SpecEngine(PARAMS, CFG, ecfg)
+    _, ref_stats = ref.generate(ref.encode(prompt))
+
+    mesh = S.make_mesh(data=2, model=4)
+    tp = SpecEngine(PARAMS, CFG, ecfg, mesh=mesh)
+    st = tp.encode(prompt)
+    assert st.ks is not None and hasattr(st.ks, "sharding")
+    _, tp_stats = tp.generate(st)
+    np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
+                                  np.asarray(tp_stats["output"]))
