@@ -36,7 +36,8 @@ def main():
     params, cfg = common.load_params_and_config(args.model)
     mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
     ecfg = EngineConfig(mode="streamingllm", max_seq_len=args.max_len,
-                        max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg))
+                        max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
+                        temperature=args.temperature, top_p=args.top_p)
     engine = SpecEngine(params, cfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, cfg.vocab_size)
@@ -46,7 +47,7 @@ def main():
     for i, batch in enumerate(batch_iterator(data[: args.num_batches * args.B],
                                              args.B)):
         prompt = jnp.asarray(batch[:, : args.prefix_len], jnp.int32)
-        st = engine.encode_baseline(prompt)
+        st = engine.encode_baseline(prompt, rng=common.sampling_rng(args))
         common.force(st.token0)
         with common.Timer() as t:
             st, stats = engine.generate_baseline(st, max_new=args.max_gen)

@@ -33,6 +33,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="mesh model axis (reference: --rank_group TP width)")
     p.add_argument("--compile", action="store_true",
                    help="accepted for reference-CLI parity; jit is always on")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="> 0: exact Gumbel-coupled speculative sampling "
+                        "(0 = greedy, the reference's only decode mode)")
+    p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="cpu: force the host backend (smoke runs). The "
                         "JAX_PLATFORMS env var is NOT honored in this "
@@ -45,6 +49,13 @@ def apply_platform(args):
     """Call first thing in every driver main(), before any jax computation."""
     if getattr(args, "platform", "default") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+
+def sampling_rng(args):
+    """encode()/serve() rng kwarg: a PRNG key when --temperature > 0."""
+    if getattr(args, "temperature", 0.0) > 0:
+        return jax.random.PRNGKey(args.seed)
+    return None
 
 
 def load_params_and_config(model: str, dtype=jnp.bfloat16):

@@ -1,0 +1,131 @@
+"""Attention-kernel microbenchmarks: Pallas flash kernels vs their XLA paths.
+
+The reference has no kernel-level benchmark (its kernels live in flashinfer);
+this driver times each hot attention kernel in isolation at serving shapes so
+regressions and backend-dispatch decisions (ops/attention.py attend_auto*) are
+grounded in measured numbers on the actual chip.
+
+Timing protocol per CLAUDE.md: N iterations chained inside one jitted
+fori_loop with a real data dependence (the kernel output feeds the next
+iteration's queries), one host readback at the end; plain block_until_ready
+does not synchronize through the remote-device relay.
+
+Usage (real TPU, ~2-4 min including compiles):
+    python benchmarks/kernel_benchmark.py --B 32 --S 8704 --C 512
+CPU sanity (tiny shapes, interpretable):
+    python benchmarks/kernel_benchmark.py --platform cpu --B 2 --S 512 \
+        --C 128 --iters 3
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--model", default="llama-3.2-1b")
+    p.add_argument("--B", type=int, default=32)
+    p.add_argument("--S", type=int, default=8704,
+                   help="cache capacity (tile of 512)")
+    p.add_argument("--C", type=int, default=512, help="prefill chunk rows")
+    p.add_argument("--T", type=int, default=5,
+                   help="verify window gamma+1 for the decode kernels")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--which", default="all",
+                   choices=["all", "decode", "prefill"])
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magicdec_tpu.config import ModelConfig
+    from magicdec_tpu.engine.profiling import _chain
+    from magicdec_tpu.ops import attention as A
+    from magicdec_tpu.ops import kv_cache as kv_ops
+    from magicdec_tpu.ops.pallas.decode_attention import (
+        flash_decode_attend, flash_decode_attend_quant)
+    from magicdec_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attend, flash_prefill_attend_quant)
+
+    cfg = ModelConfig.from_name(args.model)
+    B, S, C, T = args.B, args.S, args.C, args.T
+    Hq, Hkv, hd = cfg.n_head, cfg.n_kv_head, cfg.head_dim
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+
+    k4 = jnp.asarray(rng.randn(B, S, Hkv, hd), dt)
+    v4 = jnp.asarray(rng.randn(B, S, Hkv, hd), dt)
+    k, v = k4.reshape(B, S, Hkv * hd), v4.reshape(B, S, Hkv * hd)
+    kq, ks = kv_ops.quantize_kv_tokens(k4)
+    vq, vs = kv_ops.quantize_kv_tokens(v4)
+    block_s = 512 if S % 512 == 0 else 128
+    interp = jax.default_backend() == "cpu"
+
+    results = {}
+
+    def bench(name, fn, q, *rest):
+        t = _chain(fn, args.iters)(q, *rest) * 1e3
+        results[name] = round(t, 3)
+        print(f"[kernel] {name:32s} {t:8.3f} ms", file=sys.stderr)
+
+    if args.which in ("all", "decode"):
+        for t in sorted({1, T}):
+            q = jnp.asarray(rng.randn(B, t, Hq, hd), dt)
+            lens = jnp.full((B,), S - t, jnp.int32)
+            bench(f"decode_T{t}_xla", lambda x, k, v, l: A.attend(x, k, v, l),
+                  q, k, v, lens)
+            bench(f"decode_T{t}_flash",
+                  lambda x, k, v, l: flash_decode_attend(x, k, v, l,
+                                                         block_s=block_s,
+                                                         interpret=interp),
+                  q, k, v, lens)
+            bench(f"decode_T{t}_int8_xla",
+                  lambda x, k, ks, v, vs, l: A.attend_quant(x, k, ks, v, vs, l),
+                  q, kq, ks, vq, vs, lens)
+            bench(f"decode_T{t}_int8_flash",
+                  lambda x, k, ks, v, vs, l: flash_decode_attend_quant(
+                      x, k, ks, v, vs, l, block_s=block_s, interpret=interp),
+                  q, kq, ks, vq, vs, lens)
+
+    if args.which in ("all", "prefill"):
+        q = jnp.asarray(rng.randn(B, C, Hq, hd), dt)
+        lens = jnp.full((B,), S - C, jnp.int32)
+        br = min(512, (Hq // Hkv) * C)
+        bench("prefill_flash",
+              lambda x, k, v, l: flash_prefill_attend(x, k, v, l,
+                                                      block_s=block_s,
+                                                      block_r=br,
+                                                      interpret=interp),
+              q, k, v, lens)
+        bench("prefill_int8_flash",
+              lambda x, k, ks, v, vs, l: flash_prefill_attend_quant(
+                  x, k, ks, v, vs, l, block_s=block_s, block_r=br,
+                  interpret=interp),
+              q, kq, ks, vq, vs, lens)
+
+        def dequant_then_flash(x, k, ks, v, vs, l):
+            kd = kv_ops.dequant_kv(k, ks, hd, x.dtype)
+            vd = kv_ops.dequant_kv(v, vs, hd, x.dtype)
+            return flash_prefill_attend(x, kd, vd, l, block_s=block_s,
+                                        block_r=br, interpret=interp)
+
+        bench("prefill_int8_dequant_flash", dequant_then_flash,
+              q, kq, ks, vq, vs, lens)
+
+    print(json.dumps({"metric": f"kernel_bench_{args.model}_B{B}_S{S}",
+                      "value": results.get("decode_T1_flash", 0.0),
+                      "unit": "ms", "vs_baseline": 1.0,
+                      "detail": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,8 @@ def main():
     mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
     ecfg = EngineConfig(mode=mode, gamma=args.gamma, draft_budget=budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,
-                        eot_ids=common.eot_ids_for(args, cfg))
+                        eot_ids=common.eot_ids_for(args, cfg),
+                        temperature=args.temperature, top_p=args.top_p)
     engine = LongSpecEngine(params, cfg, dparams, dcfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, min(cfg.vocab_size, dcfg.vocab_size))
@@ -58,7 +59,7 @@ def main():
     for i, batch in enumerate(batch_iterator(data[: args.num_batches * args.B],
                                              args.B)):
         prompt = jnp.asarray(batch[:, : args.prefix_len], jnp.int32)
-        st = engine.encode(prompt)
+        st = engine.encode(prompt, rng=common.sampling_rng(args))
         common.force(st.token0)
         with common.Timer() as t:
             st, stats = engine.generate(st)

@@ -46,7 +46,8 @@ def main():
     ecfg = EngineConfig(mode=args.mode, gamma=args.gamma,
                         draft_budget=args.draft_budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,
-                        eot_ids=common.eot_ids_for(args, cfg))
+                        eot_ids=common.eot_ids_for(args, cfg),
+                        temperature=args.temperature, top_p=args.top_p)
     engine = SpecEngine(params, cfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, cfg.vocab_size)
@@ -56,7 +57,7 @@ def main():
     for i, batch in enumerate(batch_iterator(data[: args.num_batches * args.B],
                                              args.B)):
         prompt = jnp.asarray(batch[:, : args.prefix_len], jnp.int32)
-        st = engine.encode(prompt)
+        st = engine.encode(prompt, rng=common.sampling_rng(args))
         common.force(st.token0)
         with common.Timer() as t:
             st, stats = engine.generate(st)

@@ -59,7 +59,8 @@ def main():
         prefill_chunk_size=min(512, prefix) if prefix % 512 == 0 or prefix % 128 == 0 else 128,
         max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
-        kv_quant=args.kv_quant)
+        kv_quant=args.kv_quant,
+        temperature=args.temperature, top_p=args.top_p)
 
     if args.draft_model or args.mode == "full":
         dparams, dcfg = common.load_params_and_config(
@@ -74,11 +75,13 @@ def main():
 
     # warmup: compile the windows/admit/encode programs on a short stream
     engine.serve(prompts[: args.slots], B=args.slots,
-                 windows_per_sync=args.windows_per_sync)
+                 windows_per_sync=args.windows_per_sync,
+                 rng=common.sampling_rng(args))
 
     t0 = time.perf_counter()
     outs = engine.serve(prompts, B=args.slots,
-                        windows_per_sync=args.windows_per_sync)
+                        windows_per_sync=args.windows_per_sync,
+                        rng=common.sampling_rng(args))
     dt = time.perf_counter() - t0
     toks = int(sum(len(o) for o in outs))
     print(f"[serving] {args.num_requests} reqs x {prefix} ctx through "

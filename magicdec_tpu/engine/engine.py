@@ -59,6 +59,16 @@ class EngineConfig:
                                        # scales): halves decode HBM traffic —
                                        # the long-context bottleneck. Draft
                                        # cache stays in cache_dtype.
+    temperature: float = 0.0           # > 0 enables Gumbel-coupled sampling:
+                                       # every committed token is an EXACT
+                                       # categorical sample from the (top-p
+                                       # filtered) target distribution, and the
+                                       # spec output stream is token-identical
+                                       # to baseline sampling with the same rng
+                                       # (ops/sampling.py coupled_gumbel). The
+                                       # reference only ever decodes greedily
+                                       # (SURVEY.md §2.2).
+    top_p: float = 1.0
 
 
 class SpecEngine:
@@ -94,10 +104,13 @@ class SpecEngine:
             daxes = self._draft_model_axes(mesh)
             S.validate_mesh(cfg, mesh, axes)
             self.params = S.shard_params(params, cfg, mesh, axes)
+            sampled = ecfg.temperature > 0
             self._spec_shardings = S._to_shardings(
-                S.spec_state_pspecs(axes, daxes, kv_quant=ecfg.kv_quant), mesh)
+                S.spec_state_pspecs(axes, daxes, kv_quant=ecfg.kv_quant,
+                                    sampled=sampled), mesh)
             self._baseline_shardings = S._to_shardings(
-                S.baseline_state_pspecs(axes, kv_quant=ecfg.kv_quant), mesh)
+                S.baseline_state_pspecs(axes, kv_quant=ecfg.kv_quant,
+                                        sampled=sampled), mesh)
             self._cache_sharding = jax.sharding.NamedSharding(mesh, S.cache_pspec(axes))
             self._draft_cache_sharding = jax.sharding.NamedSharding(
                 mesh, S.cache_pspec(daxes))
@@ -161,14 +174,57 @@ class SpecEngine:
         return c
 
     # ------------------------------------------------------------------
+    # sampling (Gumbel-coupled; EngineConfig.temperature > 0)
+    # ------------------------------------------------------------------
+
+    def _sampling_args(self, B: int, rng, salt):
+        """Normalize encode()'s sampling arguments; (None, None) when greedy."""
+        if self.ecfg.temperature <= 0:
+            return None, None
+        if rng is None:
+            raise ValueError("EngineConfig.temperature > 0 requires an rng "
+                             "key: encode(input_ids, rng=jax.random.PRNGKey(s))")
+        salt = (jnp.arange(B, dtype=jnp.int32) if salt is None
+                else jnp.asarray(salt, jnp.int32))
+        # copy the key: it rides the state pytree through donated jits (jit
+        # passes unmodified inputs through, so without the copy the caller's
+        # own key buffer would be donated and deleted).
+        return jnp.array(rng), salt
+
+    def _sample_spec(self, st, idx):
+        """head_sample spec for candidate tokens at output-stream rows `idx`
+        [B, T] of state `st`; None in greedy mode (argmax head)."""
+        e = self.ecfg
+        if e.temperature <= 0:
+            return None
+        return {"key": st.rng, "salt": st.salt, "idx": idx,
+                "temperature": e.temperature, "top_p": e.top_p}
+
+    def _head_token(self, params, x_last, rng, salt):
+        """Prefill's first generated token from the last hidden state [B, D]:
+        greedy argmax, or the stream-slot-0 coupled-Gumbel sample."""
+        if self.ecfg.temperature <= 0:
+            return M.head_argmax(params, self.cfg, x_last[:, None])[:, 0]
+        B = x_last.shape[0]
+        spec = {"key": rng, "salt": salt,
+                "idx": jnp.zeros((B, 1), jnp.int32),
+                "temperature": self.ecfg.temperature, "top_p": self.ecfg.top_p}
+        return M.head_sample(params, self.cfg, x_last[:, None], spec)[:, 0]
+
+    # ------------------------------------------------------------------
     # prefill (encode)
     # ------------------------------------------------------------------
 
-    def encode(self, input_ids: jnp.ndarray) -> SpecState:
-        """Prefill both caches from [B, prefix] prompts; returns ready state."""
+    def encode(self, input_ids: jnp.ndarray, rng=None, salt=None) -> SpecState:
+        """Prefill both caches from [B, prefix] prompts; returns ready state.
+
+        rng/salt only apply under sampling (EngineConfig.temperature > 0):
+        rng is the stream PRNG key, salt [B] the per-request noise-stream
+        identity (defaults to arange(B); serving passes request ids)."""
         B, prefix = input_ids.shape
+        rng, salt = self._sampling_args(B, rng, salt)
         fn = self._encode_fn(B, prefix)
-        return fn(self.params, jnp.asarray(input_ids, jnp.int32))
+        return fn(self.params, jnp.asarray(input_ids, jnp.int32), rng, salt)
 
     @functools.lru_cache(maxsize=8)
     def _encode_fn(self, B: int, prefix: int):
@@ -210,26 +266,26 @@ class SpecEngine:
             assert prefix % C == e.window_size % C and prefix >= e.window_size, \
                 f"snapkv prefill requires prefix ≡ window (mod {C})"
 
-            def encode(params, tokens):
+            def encode(params, tokens, rng, salt):
                 tcaches, dcaches = self._zero_caches(B)
                 caches, lens, _ = target_prefill(params, tokens[:, :-e.window_size],
                                                  tcaches)
                 caches = {**caches, **dcaches}
-                toks, caches = M.forward_prefill_snapkv_last(
+                x, caches = M.forward_prefill_snapkv_last(
                     params, cfg, tokens[:, prefix - e.window_size:], lens, caches,
                     ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
                     kernel_size=e.kernel_size, pooling=e.pooling,
-                    backend=e.attn_backend)
+                    backend=e.attn_backend, head="none")
                 lens = lens + e.window_size
-                token0 = toks[:, -1]
+                token0 = self._head_token(params, x[:, -1], rng, salt)
                 return self._fresh_state(caches, lens, token0,
                                          draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
-                                         draft_pos=lens)
+                                         draft_pos=lens, rng=rng, salt=salt)
         else:
-            def encode(params, tokens):
+            def encode(params, tokens, rng, salt):
                 tcaches, dcaches = self._zero_caches(B)
                 caches, lens, x_last = target_prefill(params, tokens, tcaches)
-                token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
+                token0 = self._head_token(params, x_last, rng, salt)
 
                 # second pass: draft prefill with sink+window eviction
                 n_full = prefix // C
@@ -256,11 +312,13 @@ class SpecEngine:
                 caches = {**caches, **dcaches}
                 return self._fresh_state(caches, lens, token0,
                                          draft_fill=draft_fill.astype(jnp.int32),
-                                         draft_pos=draft_fill.astype(jnp.int32))
+                                         draft_pos=draft_fill.astype(jnp.int32),
+                                         rng=rng, salt=salt)
 
         return jax.jit(encode, out_shardings=self._spec_shardings)
 
-    def _fresh_state(self, caches, lens, token0, *, draft_fill, draft_pos) -> SpecState:
+    def _fresh_state(self, caches, lens, token0, *, draft_fill, draft_pos,
+                     rng=None, salt=None) -> SpecState:
         B = lens.shape[0]
         e = self.ecfg
         output = jnp.zeros((B, self._out_cap), jnp.int32)
@@ -276,6 +334,7 @@ class SpecEngine:
             done=jnp.zeros((), bool),
             db_tokens=db_tokens,
             db_update=jnp.ones((B,), jnp.int32),
+            rng=rng, salt=salt,
         )
 
     # ------------------------------------------------------------------
@@ -386,25 +445,29 @@ class SpecEngine:
         into the draft cache, overwriting the speculated slots."""
         e, cfg = self.ecfg, self.cfg
         f0 = st.draft_fill
+        n0 = st.num_committed  # token0 = the candidate for output slot n0
 
         def draft_body(carry, _):
-            dk, dv, fill, pos, tok = carry
+            dk, dv, fill, pos, tok, sidx = carry
             nxt, dc = M.forward_draft(params, cfg, tok[:, None], fill, pos,
                                       {"dk": dk, "dv": dv},
-                                      backend=e.attn_backend)
+                                      backend=e.attn_backend,
+                                      sample=self._sample_spec(st, sidx[:, None]))
             nxt = nxt[:, 0]
-            return (dc["dk"], dc["dv"], fill + 1, pos + 1, nxt), nxt
+            return (dc["dk"], dc["dv"], fill + 1, pos + 1, nxt, sidx + 1), nxt
 
-        (dk, dv, _, _, _), drafted = jax.lax.scan(
-            draft_body, (st.dk, st.dv, f0, st.draft_pos, st.token0),
+        (dk, dv, _, _, _, _), drafted = jax.lax.scan(
+            draft_body, (st.dk, st.dv, f0, st.draft_pos, st.token0, n0 + 1),
             None, length=e.gamma)
         tokens_buffer = jnp.concatenate(
             [st.token0[:, None], jnp.moveaxis(drafted, 0, 1)], axis=1)
 
         caches = {**self._state_tcaches(st), "dk": dk, "dv": dv}
+        # target_tokens[i] is the candidate for output slot n0 + i + 1
+        idx_v = n0[:, None] + 1 + jnp.arange(e.gamma + 1, dtype=jnp.int32)[None]
         target_tokens, caches = M.forward_verify_snapkv(
             params, cfg, tokens_buffer, st.target_lens, f0, caches,
-            backend=e.attn_backend)
+            backend=e.attn_backend, sample=self._sample_spec(st, idx_v))
 
         return self._finish_window(
             st, tokens_buffer, target_tokens, caches,
@@ -432,31 +495,41 @@ class SpecEngine:
         f0 = st.draft_fill
         delta = st.draft_pos - st.draft_fill
         dcaches = {"dk": st.dk, "dv": st.dv}
+        n0 = st.num_committed  # token0 = the candidate for output slot n0
 
+        # db_tokens[j] sits at output slot n0 - db_update + 1 + j (full-accept
+        # windows carry [last drafted, bonus], others [bonus, 0]), so nxt2[j]
+        # is the candidate for the NEXT slot: n0 + (2 - db_update) + j.  Only
+        # the selected row db_update-1 (always slot n0 + 1) is consumed.
+        idx2 = (n0 + 2 - st.db_update)[:, None] + jnp.arange(2, dtype=jnp.int32)[None]
         nxt2, dcaches = M.forward_draft(dparams, dcfg, st.db_tokens, f0,
                                         f0 + delta, dcaches,
-                                        backend=e.attn_backend)
+                                        backend=e.attn_backend,
+                                        sample=self._sample_spec(st, idx2))
         tok1 = jnp.take_along_axis(nxt2, (st.db_update - 1)[:, None], axis=1)[:, 0]
         fill = f0 + st.db_update
 
         def draft_body(carry, _):
-            dk, dv, fill, tok = carry
+            dk, dv, fill, tok, sidx = carry
             nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill,
                                       fill + delta, {"dk": dk, "dv": dv},
-                                      backend=e.attn_backend)
+                                      backend=e.attn_backend,
+                                      sample=self._sample_spec(st, sidx[:, None]))
             nxt = nxt[:, 0]
-            return (dc["dk"], dc["dv"], fill + 1, nxt), nxt
+            return (dc["dk"], dc["dv"], fill + 1, nxt, sidx + 1), nxt
 
-        (dk, dv, _, _), drafted = jax.lax.scan(
-            draft_body, (dcaches["dk"], dcaches["dv"], fill, tok1),
+        (dk, dv, _, _, _), drafted = jax.lax.scan(
+            draft_body, (dcaches["dk"], dcaches["dv"], fill, tok1, n0 + 2),
             None, length=e.gamma - 1)
         drafted = jnp.concatenate([tok1[:, None], jnp.moveaxis(drafted, 0, 1)], axis=1)
         tokens_buffer = jnp.concatenate([st.token0[:, None], drafted], axis=1)
 
         caches = self._state_tcaches(st)
+        # target_tokens[i] is the candidate for output slot n0 + i + 1
+        idx_v = n0[:, None] + 1 + jnp.arange(e.gamma + 1, dtype=jnp.int32)[None]
         target_tokens, caches = M.forward_target(
             params, cfg, tokens_buffer, st.target_lens, caches,
-            backend=e.attn_backend)
+            backend=e.attn_backend, sample=self._sample_spec(st, idx_v))
         caches = {**caches, "dk": dk, "dv": dv}
 
         gamma = e.gamma
@@ -470,17 +543,19 @@ class SpecEngine:
     # autoregressive baseline (tests/baseline_benchmark.py equivalent)
     # ------------------------------------------------------------------
 
-    def encode_baseline(self, input_ids: jnp.ndarray) -> BaselineState:
+    def encode_baseline(self, input_ids: jnp.ndarray, rng=None,
+                        salt=None) -> BaselineState:
         B, prefix = input_ids.shape
+        rng, salt = self._sampling_args(B, rng, salt)
         fn = self._encode_baseline_fn(B, prefix)
-        return fn(self.params, jnp.asarray(input_ids, jnp.int32))
+        return fn(self.params, jnp.asarray(input_ids, jnp.int32), rng, salt)
 
     @functools.lru_cache(maxsize=8)
     def _encode_baseline_fn(self, B: int, prefix: int):
         e, cfg = self.ecfg, self.cfg
         C = e.prefill_chunk_size or e.chunk_size
 
-        def encode(params, tokens):
+        def encode(params, tokens, rng, salt):
             caches = self._zero_target_caches(B)
             n_full, rem = prefix // C, prefix % C
             lens = jnp.zeros((B,), jnp.int32)
@@ -502,13 +577,14 @@ class SpecEngine:
                                              backend=e.attn_backend)
                 lens = lens + rem
                 x_last = x[:, -1]
-            token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
+            token0 = self._head_token(params, x_last, rng, salt)
             output = jnp.zeros((B, self._out_cap), jnp.int32)
             output = spec_ops.write_at(output, jnp.zeros((B,), jnp.int32), token0)
             return BaselineState(ks=caches.get("ks"), vs=caches.get("vs"),
                                  k=caches["k"], v=caches["v"], lens=lens,
                                  token0=token0, output=output,
-                                 num_committed=jnp.ones((B,), jnp.int32))
+                                 num_committed=jnp.ones((B,), jnp.int32),
+                                 rng=rng, salt=salt)
 
         return jax.jit(encode, out_shardings=self._baseline_shardings)
 
@@ -527,9 +603,11 @@ class SpecEngine:
         def gen(params, st: BaselineState) -> BaselineState:
             def body(carry, _):
                 caches, lens, tok, out, n = carry
+                # the produced token is the candidate for output slot n
                 nxt, caches = M.forward_target(params, cfg, tok[:, None], lens,
                                                caches,
-                                               backend=self.ecfg.attn_backend)
+                                               backend=self.ecfg.attn_backend,
+                                               sample=self._sample_spec(st, n[:, None]))
                 nxt = nxt[:, 0]
                 out = spec_ops.write_at(out, n, nxt)
                 return (caches, lens + 1, nxt, out, n + 1), None
@@ -540,7 +618,8 @@ class SpecEngine:
                 None, length=max_new - 1)
             return BaselineState(ks=caches.get("ks"), vs=caches.get("vs"),
                                  k=caches["k"], v=caches["v"], lens=lens,
-                                 token0=tok, output=out, num_committed=n)
+                                 token0=tok, output=out, num_committed=n,
+                                 rng=st.rng, salt=st.salt)
 
         return jax.jit(gen, donate_argnums=(1,))
 
@@ -627,13 +706,13 @@ class LongSpecEngine(SpecEngine):
                 x_last = x[:, -1]
             return caches, lens, x_last
 
-        def encode(params_pair, tokens):
+        def encode(params_pair, tokens, rng, salt):
             params, draft_params = params_pair
             e_ = e
             dt = e.cache_dtype
             caches, lens, x_last = chunked_prefill(params, cfg, tokens,
                                                    self._zero_target_caches(B))
-            token0 = M.head_argmax(params, cfg, x_last[:, None])[:, 0]
+            token0 = self._head_token(params, x_last, rng, salt)
 
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
             dv = jnp.zeros_like(dk)
@@ -691,11 +770,12 @@ class LongSpecEngine(SpecEngine):
                 draft_pos = lens  # real positions
             caches = {**caches, **dcaches}
             return self._fresh_state(caches, lens, token0,
-                                     draft_fill=draft_fill, draft_pos=draft_pos)
+                                     draft_fill=draft_fill, draft_pos=draft_pos,
+                                     rng=rng, salt=salt)
 
         fn = jax.jit(encode, out_shardings=self._spec_shardings)
 
-        def call(params, tokens):
-            return fn((params, self.draft_params), tokens)
+        def call(params, tokens, rng, salt):
+            return fn((params, self.draft_params), tokens, rng, salt)
 
         return call

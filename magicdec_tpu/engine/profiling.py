@@ -21,21 +21,36 @@ import jax.numpy as jnp
 from magicdec_tpu.models import llama as M
 
 
-def _chain(fn, n):
-    """fn(x, *args) -> x'; every array (params included) must be an explicit
-    argument — anything closed over becomes a baked-in jit constant and gets
-    re-uploaded per compile."""
-    @jax.jit
-    def run(x, *args):
-        return jax.lax.fori_loop(0, n, lambda i, x: fn(x, *args), x)
+def _chain(fn, n, repeats: int = 3):
+    """Per-iteration seconds of fn(x, *args) -> x', measured as the difference
+    between an n-chain and a 2n-chain so the constant dispatch + readback
+    overhead (~28ms through the remote-device relay) cancels exactly on any
+    platform.  Every array (params included) must be an explicit argument —
+    anything closed over becomes a baked-in jit constant and gets re-uploaded
+    per compile."""
+    def make(m):
+        @jax.jit
+        def run(x, *args):
+            return jax.lax.fori_loop(0, m, lambda i, x: fn(x, *args), x)
+        return run
+
+    run1, run2 = make(n), make(2 * n)
+
+    def readback(r):
+        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
 
     def timed(*args):
-        r = run(*args)
-        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])  # warm
-        t0 = time.perf_counter()
-        r = run(*args)
-        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
-        return (time.perf_counter() - t0 - 0.03) / n
+        readback(run1(*args))  # compile + warm
+        readback(run2(*args))
+        estimates = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            readback(run1(*args))
+            t1 = time.perf_counter()
+            readback(run2(*args))
+            t2 = time.perf_counter()
+            estimates.append(((t2 - t1) - (t1 - t0)) / n)
+        return float(np.median(estimates))
 
     return timed
 

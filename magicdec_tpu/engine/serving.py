@@ -76,8 +76,11 @@ class ServingEngine(SpecEngine):
     # admission / drain
     # ------------------------------------------------------------------
 
-    def init_serving(self, B: int, prefix: int) -> ServingState:
-        """Empty batch of B slots sized for `prefix`-length prompts."""
+    def init_serving(self, B: int, prefix: int, rng=None) -> ServingState:
+        """Empty batch of B slots sized for `prefix`-length prompts.  Under
+        sampling (EngineConfig.temperature > 0) `rng` is the shared stream key;
+        per-request salts are spliced in at admission."""
+        rng, _ = self._sampling_args(B, rng, None)
         tcaches, dcaches = self._zero_caches(B)
 
         def zeros():  # distinct buffers: donation rejects aliased arguments
@@ -92,13 +95,20 @@ class ServingEngine(SpecEngine):
             num_committed=zeros(), target_steps=jnp.zeros((), jnp.int32),
             done=jnp.zeros((), bool),
             db_tokens=jnp.zeros((B, 2), jnp.int32),
-            db_update=jnp.ones((B,), jnp.int32))
+            db_update=jnp.ones((B,), jnp.int32),
+            rng=rng,
+            salt=jnp.zeros((B,), jnp.int32) if rng is not None else None)
         return ServingState(spec=spec, active=jnp.zeros((B,), bool),
                             done=jnp.zeros((B,), bool))
 
-    def admit(self, sst: ServingState, slot: int, prompt: np.ndarray) -> ServingState:
-        """Prefill one prompt alone and splice its state into `slot`."""
-        st1 = self.encode(jnp.asarray(prompt, jnp.int32)[None])
+    def admit(self, sst: ServingState, slot: int, prompt: np.ndarray,
+              salt: int = 0) -> ServingState:
+        """Prefill one prompt alone and splice its state into `slot`.  `salt`
+        is the request's noise-stream identity (unique per request, so a
+        recycled slot never replays a previous occupant's Gumbel stream)."""
+        st1 = self.encode(jnp.asarray(prompt, jnp.int32)[None],
+                          rng=sst.spec.rng,
+                          salt=jnp.asarray([salt], jnp.int32))
         fn = self._admit_fn(sst.active.shape[0])
         return fn(sst, st1, jnp.asarray(slot, jnp.int32))
 
@@ -124,6 +134,8 @@ class ServingEngine(SpecEngine):
             upd["output"] = spec.output.at[slot].set(st1.output[0])
             upd["db_tokens"] = spec.db_tokens.at[slot].set(st1.db_tokens[0])
             upd["db_update"] = spec.db_update.at[slot].set(st1.db_update[0])
+            if spec.salt is not None:
+                upd["salt"] = spec.salt.at[slot].set(st1.salt[0])
             spec = spec.replace(**upd)
             return ServingState(spec=spec,
                                 active=sst.active.at[slot].set(True),
@@ -136,14 +148,15 @@ class ServingEngine(SpecEngine):
     # ------------------------------------------------------------------
 
     def serve(self, prompts: List[np.ndarray], B: int,
-              windows_per_sync: int = 4) -> List[np.ndarray]:
+              windows_per_sync: int = 4, rng=None) -> List[np.ndarray]:
         """Run all prompts through B slots; returns generated tokens per
         request (in submission order).  All prompts must share one length
         (callers bucket/pad upstream, as the reference's equal-length batches
-        do)."""
+        do).  `rng`: stream key when EngineConfig.temperature > 0 (each
+        request samples from its own salt=request-id noise stream)."""
         prefix = len(prompts[0])
         assert all(len(p) == prefix for p in prompts)
-        sst = self.init_serving(B, prefix)
+        sst = self.init_serving(B, prefix, rng=rng)
         queue = list(enumerate(prompts))
         slot_req: Dict[int, int] = {}
         results: Dict[int, np.ndarray] = {}
@@ -163,7 +176,7 @@ class ServingEngine(SpecEngine):
             for slot in range(B):
                 if not active[slot] and queue:
                     rid, prompt = queue.pop(0)
-                    sst = self.admit(sst, slot, prompt)
+                    sst = self.admit(sst, slot, prompt, salt=rid)
                     slot_req[slot] = rid
                     active[slot] = True
             return sst

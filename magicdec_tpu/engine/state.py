@@ -44,6 +44,11 @@ class SpecState:
     # None for bf16 caches). ops.kv_cache.quantize_kv_tokens layout.
     ks: Optional[jnp.ndarray] = None
     vs: Optional[jnp.ndarray] = None
+    # Gumbel-coupled sampling (EngineConfig.temperature > 0; None when greedy):
+    # rng is the stream key, salt [B] the per-request noise-stream identity
+    # (ops.sampling.coupled_gumbel).
+    rng: Optional[jnp.ndarray] = None
+    salt: Optional[jnp.ndarray] = None
 
 
 @flax.struct.dataclass
@@ -58,3 +63,5 @@ class BaselineState:
     num_committed: jnp.ndarray
     ks: Optional[jnp.ndarray] = None  # int8-cache scales, as in SpecState
     vs: Optional[jnp.ndarray] = None
+    rng: Optional[jnp.ndarray] = None   # sampling key/salt, as in SpecState
+    salt: Optional[jnp.ndarray] = None

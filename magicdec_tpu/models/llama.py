@@ -138,6 +138,25 @@ def head_logits(params: Params, x_normed: jnp.ndarray) -> jnp.ndarray:
     return x_normed @ params["embed"].T  # tied embeddings (llama-3.2-1b)
 
 
+def head_sample(params: Params, cfg: ModelConfig, x: jnp.ndarray,
+                sample: Dict[str, Any]) -> jnp.ndarray:
+    """Final norm + lm head + Gumbel-coupled categorical sample -> int32 [B, T].
+
+    ``sample``: {'key': PRNG key, 'salt': [B] int32, 'idx': [B, T] int32
+    output-stream indices, 'temperature': float, 'top_p': float}.  See
+    ops.sampling.coupled_gumbel — the shared per-position noise is what makes
+    speculative *sampling* exact under the greedy-match acceptance rule.
+    """
+    from magicdec_tpu.ops import sampling as S
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = head_logits(params, x)
+    return S.gumbel_sample_tokens(logits, sample["key"], sample["salt"],
+                                  sample["idx"],
+                                  temperature=sample["temperature"],
+                                  top_p=sample["top_p"])
+
+
 # ---------------------------------------------------------------------------
 # Forward variants
 # ---------------------------------------------------------------------------
@@ -158,13 +177,15 @@ def _attn_project(x_norm: jnp.ndarray, wl: Params, cfg: ModelConfig,
 
 def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     caches: Caches, attn_hook_builder, *, return_logits: bool = False,
-                    head: str = None):
+                    head: str = None, sample: Optional[Dict[str, Any]] = None):
     """Shared driver: embed -> scan(layers with hook) -> head.
 
     attn_hook_builder(cfg, inv_freq) must return a function
     (x_norm, wl, cache_l) -> (attn_out, new_cache_l).
     head: 'argmax' (default) | 'logits' | 'none' (returns final hidden states,
     used by prefill chunks whose logits nobody reads).
+    sample: Gumbel-coupled sampling spec (see head_sample); replaces the
+    'argmax' head with an exact categorical sample when set.
     """
     if head is None:
         head = "logits" if return_logits else "argmax"
@@ -177,13 +198,15 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         return head_logits(params, x), new_caches
     if head == "none":
         return x, new_caches
+    if sample is not None:
+        return head_sample(params, cfg, x, sample), new_caches
     return head_argmax(params, cfg, x), new_caches
 
 
 def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                    base_lens: jnp.ndarray, caches: Caches, *,
                    return_logits: bool = False, head: str = None,
-                   backend: str = "jnp"):
+                   backend: str = "jnp", sample=None):
     """Decode / verify (without draft refresh) / prefill chunk on a full cache.
 
     tokens [B, T]; base_lens [B] = visible cache length before this call.
@@ -205,7 +228,8 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder,
-                           return_logits=return_logits, head=head)
+                           return_logits=return_logits, head=head,
+                           sample=sample)
 
 
 def _target_attend(q, k, v, cache_l, base_lens, *, backend):
@@ -229,7 +253,8 @@ def _target_attend(q, k, v, cache_l, base_lens, *, backend):
 
 def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                           base_lens: jnp.ndarray, draft_fill: jnp.ndarray,
-                          caches: Caches, *, backend: str = "jnp"):
+                          caches: Caches, *, backend: str = "jnp",
+                          sample=None):
     """SnapKV self-spec verify: target attention + dual append.
 
     Appends the (real-position-roped) k,v of the gamma+1 window tokens to BOTH
@@ -254,14 +279,15 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             return y, {**new_t, "dk": dk, "dv": dv}
         return hook
 
-    return forward_generic(params, cfg, tokens, caches, builder)
+    return forward_generic(params, cfg, tokens, caches, builder, sample=sample)
 
 
 def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
                                 tokens: jnp.ndarray, base_lens: jnp.ndarray,
                                 caches: Caches, *, ctx_len: int, window: int,
                                 budget: int, kernel_size: int = 5,
-                                pooling: str = "avgpool", backend: str = "jnp"):
+                                pooling: str = "avgpool", backend: str = "jnp",
+                                head: str = None, sample=None):
     """Last SnapKV prefill chunk: target append + attention + draft-KV build.
 
     tokens [B, window] (the reference constrains the last chunk to be exactly
@@ -301,7 +327,8 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
             return y, {**new_t, "dk": dk, "dv": dv}
         return hook
 
-    return forward_generic(params, cfg, tokens, caches, builder)
+    return forward_generic(params, cfg, tokens, caches, builder, head=head,
+                           sample=sample)
 
 
 def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
@@ -363,7 +390,7 @@ def streaming_finalize_draft(cfg: ModelConfig, caches: Caches, *, budget: int):
 
 def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                   draft_fill: jnp.ndarray, rope_pos: jnp.ndarray, caches: Caches,
-                  *, backend: str = "jnp"):
+                  *, backend: str = "jnp", sample=None):
     """Draft decode step over the compressed cache.
 
     draft_fill [B]: cache fill (append position & causal base).
@@ -385,4 +412,4 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             return y, {"dk": dk, "dv": dv}
         return hook
 
-    return forward_generic(params, cfg, tokens, caches, builder)
+    return forward_generic(params, cfg, tokens, caches, builder, sample=sample)

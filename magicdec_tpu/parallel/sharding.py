@@ -109,9 +109,11 @@ def scale_pspec(axes=("model",)) -> P:
 
 
 def spec_state_pspecs(axes=("model",), draft_axes=None,
-                      kv_quant: bool = False) -> Any:
+                      kv_quant: bool = False, sampled: bool = False) -> Any:
     """PartitionSpecs for engine.state.SpecState fields.  draft caches may be
-    sharded over a sub-axis of the target's model axes (draft sub-mesh)."""
+    sharded over a sub-axis of the target's model axes (draft sub-mesh).
+    ``sampled``: state carries the coupled-Gumbel rng (replicated) and the
+    per-request salt (data-sharded)."""
     from magicdec_tpu.engine.state import SpecState
 
     b = P("data")
@@ -124,17 +126,22 @@ def spec_state_pspecs(axes=("model",), draft_axes=None,
         db_tokens=P("data", None), db_update=b,
         ks=scale_pspec(axes) if kv_quant else None,
         vs=scale_pspec(axes) if kv_quant else None,
+        rng=P() if sampled else None,
+        salt=b if sampled else None,
     )
 
 
-def baseline_state_pspecs(axes=("model",), kv_quant: bool = False) -> Any:
+def baseline_state_pspecs(axes=("model",), kv_quant: bool = False,
+                          sampled: bool = False) -> Any:
     from magicdec_tpu.engine.state import BaselineState
 
     b = P("data")
     return BaselineState(k=cache_pspec(axes), v=cache_pspec(axes), lens=b,
                          token0=b, output=P("data", None), num_committed=b,
                          ks=scale_pspec(axes) if kv_quant else None,
-                         vs=scale_pspec(axes) if kv_quant else None)
+                         vs=scale_pspec(axes) if kv_quant else None,
+                         rng=P() if sampled else None,
+                         salt=b if sampled else None)
 
 
 def _to_shardings(tree_pspecs, mesh: Mesh):

@@ -99,3 +99,24 @@ def test_serving_longspec_matches_solo(mode, prefix):
         n = int(np.asarray(stats["num_committed"])[0])
         ref = np.asarray(stats["output"])[0, :n]
         np.testing.assert_array_equal(out, ref)
+
+
+def test_serving_sampled_matches_solo():
+    """Sampling through the serving engine: each request's served tokens equal
+    its solo sampled run (same rng, salt = request id), even across slot
+    recycling — recycled slots never replay a previous occupant's stream."""
+    import jax
+
+    key = jax.random.PRNGKey(77)
+    ecfg = dataclasses.replace(_ecfg(max_gen=12), temperature=0.8, top_p=0.9)
+    prompts = _prompts(5, 48, seed=13)
+    engine = ServingEngine(PARAMS, CFG, ecfg)
+    outs = engine.serve(prompts, B=2, windows_per_sync=2, rng=key)
+    assert len(outs) == 5
+    solo = SpecEngine(PARAMS, CFG, ecfg)
+    for rid, (prompt, out) in enumerate(zip(prompts, outs)):
+        st = solo.encode(jnp.asarray(prompt)[None], rng=key,
+                         salt=jnp.asarray([rid], jnp.int32))
+        _, stats = solo.generate(st)
+        n = int(np.asarray(stats["num_committed"])[0])
+        np.testing.assert_array_equal(out, np.asarray(stats["output"])[0, :n])
