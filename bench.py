@@ -61,8 +61,10 @@ def main():
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None)
     p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
-    p.add_argument("--kv_quant", action="store_true",
-                   help="int8 target KV cache (halves decode HBM traffic)")
+    p.add_argument("--kv_quant", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="quantized target KV cache (int8 halves, int4 "
+                        "quarters decode HBM traffic)")
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -84,7 +86,7 @@ def main():
         chunk_size=128, prefill_chunk_size=args.prefill_chunk,
         max_gen=args.max_gen, eot_ids=(-1,),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
-        kv_quant=args.kv_quant)
+        kv_quant=args.kv_quant or False)
     engine = SpecEngine(params, cfg, ecfg)
 
     rng = np.random.RandomState(0)
@@ -127,7 +129,7 @@ def main():
     print(f"[bench] autoregressive: {base_tps:.1f} tok/s", file=sys.stderr)
 
     qtag = f"_{args.quantize}" if args.quantize else ""
-    qtag += "_kvq" if args.kv_quant else ""
+    qtag += f"_kvq{args.kv_quant[3:]}" if args.kv_quant else ""
     print(json.dumps({
         "metric": f"selfspec_{args.mode}_tokens_per_s_{args.model}{qtag}_B{args.B}_ctx{prefix}",
         "value": round(spec_tps, 2),

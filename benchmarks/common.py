@@ -37,6 +37,12 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="> 0: exact Gumbel-coupled speculative sampling "
                         "(0 = greedy, the reference's only decode mode)")
     p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--attn_backend", default="jnp", choices=["jnp", "flash"],
+                   help="flash: Pallas TPU kernels on the attention hot path")
+    p.add_argument("--kv_quant", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="quantized target KV cache (int8 halves, int4 "
+                        "quarters decode HBM traffic)")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="cpu: force the host backend (smoke runs). The "
                         "JAX_PLATFORMS env var is NOT honored in this "

@@ -49,7 +49,9 @@ def main():
     ecfg = EngineConfig(mode=mode, gamma=args.gamma, draft_budget=budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,
                         eot_ids=common.eot_ids_for(args, cfg),
-                        temperature=args.temperature, top_p=args.top_p)
+                        temperature=args.temperature, top_p=args.top_p,
+                        attn_backend=args.attn_backend,
+                        kv_quant=args.kv_quant or False)
     engine = LongSpecEngine(params, cfg, dparams, dcfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, min(cfg.vocab_size, dcfg.vocab_size))

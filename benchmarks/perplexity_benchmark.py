@@ -27,17 +27,14 @@ def main():
     p.add_argument("--seq_len", type=int, default=2048)
     p.add_argument("--chunk", type=int, default=512)
     p.add_argument("--num_seqs", type=int, default=8)
-    p.add_argument("--attn_backend", default="jnp", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None,
                    help="evaluate the quantized model only")
-    p.add_argument("--compare", choices=["int8", "int4", "kv_int8"],
+    p.add_argument("--compare", choices=["int8", "int4", "kv_int8", "kv_int4"],
                    default=None,
                    help="evaluate full precision AND this quantization "
-                        "(kv_int8 = int8 KV cache, weights untouched); the "
-                        "JSON line reports the quantized ppl with "
-                        "vs_baseline = ppl_quant / ppl_full")
-    p.add_argument("--kv_quant", action="store_true",
-                   help="run with the int8 KV cache")
+                        "(kv_int8/kv_int4 = quantized KV cache, weights "
+                        "untouched); the JSON line reports the quantized ppl "
+                        "with vs_baseline = ppl_quant / ppl_full")
     args = p.parse_args()
     common.apply_platform(args)
 
@@ -51,20 +48,20 @@ def main():
     data = common.load_dataset(args, cfg.vocab_size)[: args.num_seqs]
 
     def run(ps, tag, kv_quant=None):
-        kv = args.kv_quant if kv_quant is None else kv_quant
+        kv = (args.kv_quant or False) if kv_quant is None else kv_quant
         ppl, nll = quality.perplexity(ps, cfg, data, batch_size=min(args.B, len(data)),
                                       chunk_size=args.chunk,
                                       backend=args.attn_backend, kv_quant=kv)
-        print(f"[ppl] {tag}{'+kv_int8' if kv else ''}: ppl={ppl:.4f} "
+        print(f"[ppl] {tag}{f'+kv_{kv}' if kv else ''}: ppl={ppl:.4f} "
               f"nll/token={nll:.5f} ({len(data)} x {args.seq_len} tokens)",
               file=sys.stderr)
         return ppl
 
-    if args.compare == "kv_int8":
+    if args.compare in ("kv_int8", "kv_int4"):
         ppl_full = run(params, "bf16", kv_quant=False)
-        ppl_q = run(params, "bf16", kv_quant=True)
+        ppl_q = run(params, "bf16", kv_quant=args.compare.removeprefix("kv_"))
         print(json.dumps({
-            "metric": f"perplexity_kv_int8_{args.model.split('/')[-1]}",
+            "metric": f"perplexity_{args.compare}_{args.model.split('/')[-1]}",
             "value": round(ppl_q, 4), "unit": "ppl",
             "vs_baseline": round(ppl_q / ppl_full, 6),
         }))

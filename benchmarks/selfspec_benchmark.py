@@ -47,7 +47,9 @@ def main():
                         draft_budget=args.draft_budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,
                         eot_ids=common.eot_ids_for(args, cfg),
-                        temperature=args.temperature, top_p=args.top_p)
+                        temperature=args.temperature, top_p=args.top_p,
+                        attn_backend=args.attn_backend,
+                        kv_quant=args.kv_quant or False)
     engine = SpecEngine(params, cfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, cfg.vocab_size)

@@ -38,8 +38,6 @@ def main():
     p.add_argument("--draft_budget", type=int, default=257)
     p.add_argument("--max_gen", type=int, default=80)
     p.add_argument("--windows_per_sync", type=int, default=4)
-    p.add_argument("--kv_quant", action="store_true")
-    p.add_argument("--attn_backend", default="jnp", choices=["jnp", "flash"])
     args = p.parse_args()
     common.apply_platform(args)
 
@@ -59,7 +57,7 @@ def main():
         prefill_chunk_size=min(512, prefix) if prefix % 512 == 0 or prefix % 128 == 0 else 128,
         max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
-        kv_quant=args.kv_quant,
+        kv_quant=args.kv_quant or False,
         temperature=args.temperature, top_p=args.top_p)
 
     if args.draft_model or args.mode == "full":

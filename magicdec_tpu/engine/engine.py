@@ -38,6 +38,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def kv_quant_bits(kv_quant) -> int:
+    """EngineConfig.kv_quant -> bits (0 = dense cache_dtype cache)."""
+    if not kv_quant:
+        return 0
+    if kv_quant is True or kv_quant == "int8":
+        return 8
+    if kv_quant == "int4":
+        return 4
+    raise ValueError(f"kv_quant must be False/True/'int8'/'int4', got {kv_quant!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     mode: str = "streamingllm"         # "streamingllm" | "snapkv"
@@ -55,10 +66,15 @@ class EngineConfig:
     eot_ids: Tuple[int, ...] = (-1,)
     cache_dtype: Any = jnp.bfloat16
     attn_backend: str = "jnp"          # "jnp" | "flash" (Pallas TPU kernels)
-    kv_quant: bool = False             # int8 target KV cache (per-token/head
-                                       # scales): halves decode HBM traffic —
-                                       # the long-context bottleneck. Draft
-                                       # cache stays in cache_dtype.
+    kv_quant: Any = False              # quantized target KV cache with
+                                       # per-(token, head) scales: False,
+                                       # True/"int8" (half the decode HBM
+                                       # traffic — the long-context
+                                       # bottleneck), or "int4" (quarter,
+                                       # adjacent-head nibble packing —
+                                       # ops.kv_cache.pack_int4_heads;
+                                       # requires an even kv-head count).
+                                       # Draft cache stays in cache_dtype.
     temperature: float = 0.0           # > 0 enables Gumbel-coupled sampling:
                                        # every committed token is an EXACT
                                        # categorical sample from the (top-p
@@ -137,10 +153,18 @@ class SpecEngine:
 
     def _zero_target_caches(self, B: int) -> dict:
         """Target cache dict: {'k','v'} bf16, plus {'ks','vs'} scale arrays
-        when kv_quant (int8 data, f32 per-(token, head) scales)."""
+        when kv_quant (int8 data — or int4 head-pair-packed into half the
+        lanes — with f32 per-(token, head) scales)."""
         e, cfg = self.ecfg, self.cfg
+        bits = kv_quant_bits(e.kv_quant)
         shape = self._cache_shape(B, e.max_seq_len)
-        dt = jnp.int8 if e.kv_quant else e.cache_dtype
+        if bits == 4:
+            if cfg.n_kv_head % 2:
+                raise ValueError(
+                    f"kv_quant='int4' packs adjacent kv-head pairs and needs "
+                    f"an even kv-head count, got {cfg.n_kv_head}")
+            shape = shape[:-1] + (shape[-1] // 2,)
+        dt = jnp.int8 if bits else e.cache_dtype
         k = jnp.zeros(shape, dt)
         caches = {"k": k, "v": jnp.zeros_like(k)}
         if e.kv_quant:

@@ -233,14 +233,19 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
 
 
 def _target_attend(q, k, v, cache_l, base_lens, *, backend):
-    """Append + attend on the target cache, bf16 or int8-quantized.
+    """Append + attend on the target cache: bf16, int8, or int4-packed.
 
-    A quantized target cache carries per-(token, head) scales under 'ks'/'vs'
-    (ops.kv_cache.append_kv_quant); the branch is on pytree structure, so it is
-    resolved at trace time.
+    A quantized target cache carries per-(token, head) scales under 'ks'/'vs';
+    int4 is detected by the packed lane width (half the dense head lanes,
+    ops.kv_cache.pack_int4_heads).  Both branches are on pytree structure /
+    static shapes, so they are resolved at trace time.
     """
     if "ks" in cache_l:
-        kc, vc, ks, vs = kv_ops.append_kv_quant(
+        Hkv, hd = k.shape[2], k.shape[3]
+        append = (kv_ops.append_kv_quant4
+                  if cache_l["k"].shape[2] == (Hkv // 2) * hd
+                  else kv_ops.append_kv_quant)
+        kc, vc, ks, vs = append(
             cache_l["k"], cache_l["v"], cache_l["ks"], cache_l["vs"],
             k, v, base_lens)
         out = attn_ops.attend_auto_quant(q, kc, ks, vc, vs, base_lens,

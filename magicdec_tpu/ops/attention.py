@@ -78,27 +78,30 @@ def attend_quant(q: jnp.ndarray, k_cache: jnp.ndarray, k_scale: jnp.ndarray,
 
 def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
                       backend: str = "jnp") -> jnp.ndarray:
-    """Causal int8-KV attention with backend dispatch (quantized counterpart
-    of attend_auto)."""
+    """Causal quantized-KV attention with backend dispatch (int8 flat or int4
+    head-pair-packed, detected from the cache lane width vs the scale's head
+    count — see ops.kv_cache)."""
+    hd = q.shape[-1]
+    Hkv = k_scale.shape[1]
+    packed4 = k_cache.shape[2] == (Hkv // 2) * hd
     if backend == "flash":
         S = k_cache.shape[1]
         T = q.shape[1]
         block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
         if block_s is not None:
             if T <= 16:
-                from magicdec_tpu.ops.pallas.decode_attention import (
-                    flash_decode_attend_quant)
-                return flash_decode_attend_quant(q, k_cache, k_scale, v_cache,
-                                                 v_scale, base_lens,
-                                                 block_s=block_s)
-            G = q.shape[2] * q.shape[3] // k_cache.shape[2]
+                from magicdec_tpu.ops.pallas import decode_attention as DA
+                fn = (DA.flash_decode_attend_quant4 if packed4
+                      else DA.flash_decode_attend_quant)
+                return fn(q, k_cache, k_scale, v_cache, v_scale, base_lens,
+                          block_s=block_s)
+            G = q.shape[2] // Hkv
             if (G * T) % 128 == 0:
-                from magicdec_tpu.ops.pallas.prefill_attention import (
-                    flash_prefill_attend_quant)
-                return flash_prefill_attend_quant(q, k_cache, k_scale,
-                                                  v_cache, v_scale, base_lens,
-                                                  block_s=block_s,
-                                                  block_r=min(512, G * T))
+                from magicdec_tpu.ops.pallas import prefill_attention as PA
+                fn = (PA.flash_prefill_attend_quant4 if packed4
+                      else PA.flash_prefill_attend_quant)
+                return fn(q, k_cache, k_scale, v_cache, v_scale, base_lens,
+                          block_s=block_s, block_r=min(512, G * T))
     return attend_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens,
                         causal=True)
 

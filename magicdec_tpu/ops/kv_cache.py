@@ -99,12 +99,94 @@ def append_kv_quant(k_cache, v_cache, k_scale, v_scale, k_new, v_new,
 
 def dequant_kv(cache: jnp.ndarray, scale: jnp.ndarray, head_dim: int,
                dtype=jnp.float32) -> jnp.ndarray:
-    """int8 [B, S, H*hd] x f32 [B, H, S] -> [B, S, H*hd] in `dtype`."""
+    """Quantized cache -> dense [B, S, H*hd] in `dtype`.
+
+    int8 layout: cache [B, S, H*hd].  int4 layout: cache [B, S, (H//2)*hd]
+    packed (pack_int4_heads).  The layout is detected from the lane width vs
+    the scale's head count, so callers are layout-agnostic.
+    """
     B, S, K = cache.shape
-    H = K // head_dim
-    x = cache.reshape(B, S, H, head_dim).astype(jnp.float32)
+    H = scale.shape[1]
+    if K == (H // 2) * head_dim:  # int4 head-pair packing
+        x = unpack_int4_heads(cache, head_dim).astype(jnp.float32)
+    else:
+        x = cache.reshape(B, S, H, head_dim).astype(jnp.float32)
     x = x * jnp.swapaxes(scale, 1, 2)[..., None]
-    return x.reshape(B, S, K).astype(dtype)
+    return x.reshape(B, S, H * head_dim).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 KV (adjacent-head nibble packing)
+# ---------------------------------------------------------------------------
+#
+# Packing convention: kv-head 2i rides the LOW nibble and kv-head 2i+1 the
+# HIGH nibble of packed pseudo-head i, lane-for-lane — packed lane
+# i*hd + l holds (head 2i, lane l) | (head 2i+1, lane l) << 4.  Pairing
+# *adjacent* heads keeps the packed lane dimension shardable across the model
+# axis with the same head-contiguous splits as the dense cache (a pair never
+# straddles a shard as long as the local head count stays even).
+# Values are symmetric int4 in [-7, 7]; scales stay per-(token, head) f32
+# [B, H, S] — identical layout to the int8 path, so the attention kernels
+# stream the same scale rows.  No reference equivalent (the reference keeps
+# bf16 caches); this quarters the bytes the verify/decode kernels stream.
+
+
+def pack_int4_heads(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 values in [-7, 7], [..., H, hd] (H even) -> packed int8
+    [..., (H//2)*hd]."""
+    *lead, H, hd = q.shape
+    assert H % 2 == 0, f"int4 packing needs an even kv-head count, got {H}"
+    pairs = q.reshape(*lead, H // 2, 2, hd)
+    lo = pairs[..., 0, :] & jnp.int8(0x0F)
+    hi = jnp.left_shift(pairs[..., 1, :], 4)
+    return (lo | hi).reshape(*lead, (H // 2) * hd)
+
+
+def unpack_int4_heads(packed: jnp.ndarray, head_dim: int) -> jnp.ndarray:
+    """Packed int8 [..., (H//2)*hd] -> int8 values [..., H, hd] in [-7, 7]."""
+    *lead, Kp = packed.shape
+    Hp = Kp // head_dim
+    p = packed.reshape(*lead, Hp, head_dim)
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)   # sign-extended low nibble
+    hi = jnp.right_shift(p, 4)                      # arithmetic: high nibble
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * Hp, head_dim)
+
+
+def quantize_kv_tokens_int4(x: jnp.ndarray):
+    """Per-(token, kv-head) symmetric int4 quantization + head-pair packing.
+
+    x: [B, T, H, hd] -> (packed int8 [B, T, (H//2)*hd], scale f32 [B, H, T]).
+    Same scale layout as quantize_kv_tokens so kernels/shardings are shared.
+    """
+    B, T = x.shape[:2]
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)                      # [B, T, H]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
+    return pack_int4_heads(q), jnp.swapaxes(scale, 1, 2)
+
+
+def append_kv_quant4(k_cache, v_cache, k_scale, v_scale, k_new, v_new,
+                     write_pos):
+    """append_kv for int4-packed caches (layout of quantize_kv_tokens_int4).
+
+    k_cache/v_cache: int8 [B, S, (H//2)*hd]; k_scale/v_scale: f32 [B, H, S];
+    k_new/v_new: [B, T, H, hd] (bf16/f32); write_pos: [B] int32.
+    """
+    kq, ks_new = quantize_kv_tokens_int4(k_new)
+    vq, vs_new = quantize_kv_tokens_int4(v_new)
+
+    def _upd(cache_b, new_b, pos_b):
+        return jax.lax.dynamic_update_slice(cache_b, new_b, (pos_b, 0))
+
+    def _upd_scale(s_b, new_b, pos_b):
+        return jax.lax.dynamic_update_slice(s_b, new_b, (0, pos_b))
+
+    k_cache = jax.vmap(_upd)(k_cache, kq, write_pos)
+    v_cache = jax.vmap(_upd)(v_cache, vq, write_pos)
+    k_scale = jax.vmap(_upd_scale)(k_scale, ks_new, write_pos)
+    v_scale = jax.vmap(_upd_scale)(v_scale, vs_new, write_pos)
+    return k_cache, v_cache, k_scale, v_scale
 
 
 def gather_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray, indices: jnp.ndarray,

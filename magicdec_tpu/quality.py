@@ -28,15 +28,19 @@ from magicdec_tpu.models import llama as M
 
 @functools.lru_cache(maxsize=8)
 def _nll_fn(cfg: ModelConfig, B: int, S: int, C: int, backend: str,
-            cache_dtype_name: str, kv_quant: bool = False):
+            cache_dtype_name: str, kv_quant=False):
     """Jitted total-NLL over [B, S] windows, chunked by C tokens."""
+    from magicdec_tpu.engine.engine import kv_quant_bits
+
     assert S % C == 0, (S, C)
     n = S // C
     cache_dtype = jnp.dtype(cache_dtype_name)
+    bits = kv_quant_bits(kv_quant)
 
     def run(params, tokens):
-        k = jnp.zeros((cfg.n_layer, B, S, cfg.n_kv_head * cfg.head_dim),
-                      jnp.int8 if kv_quant else cache_dtype)
+        lanes = cfg.n_kv_head * cfg.head_dim
+        k = jnp.zeros((cfg.n_layer, B, S, lanes // 2 if bits == 4 else lanes),
+                      jnp.int8 if bits else cache_dtype)
         caches = {"k": k, "v": jnp.zeros_like(k)}
         if kv_quant:
             s = jnp.zeros((cfg.n_layer, B, cfg.n_kv_head, S), jnp.float32)
@@ -67,15 +71,16 @@ def _nll_fn(cfg: ModelConfig, B: int, S: int, C: int, backend: str,
 def perplexity(params, cfg: ModelConfig, data: np.ndarray, *,
                batch_size: int = 8, chunk_size: int = 512,
                backend: str = "jnp", cache_dtype=jnp.bfloat16,
-               kv_quant: bool = False) -> Tuple[float, float]:
+               kv_quant=False) -> Tuple[float, float]:
     """Teacher-forced perplexity over ``data`` [N, S] token windows.
 
     Returns (ppl, nll_per_token).  Windows are evaluated independently (no
     cross-window context), matching the reference's PG-19 windowing
     (Data/data_converter.py:42-56).  Rows that don't fill a batch are dropped,
-    like the reference's ``drop_last=True`` loader.  ``kv_quant`` evaluates
-    with the int8 KV cache (EngineConfig.kv_quant), so the cache-quantization
-    quality cost is measurable with the same gate as weight quantization.
+    like the reference's ``drop_last=True`` loader.  ``kv_quant``
+    (False/True/'int8'/'int4', EngineConfig.kv_quant semantics) evaluates with
+    the quantized KV cache, so the cache-quantization quality cost is
+    measurable with the same gate as weight quantization.
     """
     data = np.asarray(data)
     N, S = data.shape

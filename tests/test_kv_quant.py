@@ -171,3 +171,125 @@ def test_quantized_cache_close_to_bf16_trajectory():
     b = np.asarray(sq["output"][:, :max_gen])
     agree = (a == b).mean()
     assert agree > 0.5, f"suspiciously low agreement {agree}"
+
+
+# ---------------------------------------------------------------------------
+# int4 (head-pair nibble packing, kv_quant="int4")
+# ---------------------------------------------------------------------------
+
+
+def _quantize_full4(x, n_kv):
+    B, S, K = x.shape
+    return kv_ops.quantize_kv_tokens_int4(x.reshape(B, S, n_kv, K // n_kv))
+
+
+def test_int4_pack_unpack_roundtrip():
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randint(-7, 8, size=(3, 5, 6, 16)), jnp.int8)
+    packed = kv_ops.pack_int4_heads(q)
+    assert packed.shape == (3, 5, 3 * 16)
+    out = kv_ops.unpack_int4_heads(packed.reshape(3, 5, -1), 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(q))
+
+
+def test_int4_quant_roundtrip_error_bounded():
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 16, 4, 64) * 3.0, jnp.float32)
+    q, s = kv_ops.quantize_kv_tokens_int4(x)
+    assert q.shape == (2, 16, 2 * 64)
+    deq = kv_ops.dequant_kv(q, s, 64)
+    err = np.abs(np.asarray(deq).reshape(x.shape) - np.asarray(x))
+    # per-(token, head) scale: error <= scale/2 = amax/14 per entry
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (err <= amax / 14 + 1e-6).all()
+
+
+def test_append_kv_quant4_positions():
+    B, S, H, hd = 2, 32, 4, 8
+    kc = jnp.zeros((B, S, H // 2 * hd), jnp.int8)
+    ks = jnp.zeros((B, H, S), jnp.float32)
+    rng = np.random.RandomState(13)
+    k_new = jnp.asarray(rng.randn(B, 3, H, hd), jnp.float32)
+    pos = jnp.asarray([4, 20], jnp.int32)
+    kc2, _, ks2, _ = kv_ops.append_kv_quant4(kc, kc, ks, ks, k_new, k_new, pos)
+    deq = np.asarray(kv_ops.dequant_kv(kc2, ks2, hd))
+    for b, p in enumerate([4, 20]):
+        np.testing.assert_allclose(deq[b, p:p + 3].reshape(3, H, hd),
+                                   np.asarray(k_new)[b], atol=0.35)
+        assert (deq[b, :p] == 0).all() and (deq[b, p + 3:] == 0).all()
+
+
+@pytest.mark.parametrize("T,G,hd,block_s", [
+    (1, 4, 64, 64),    # plain decode
+    (4, 4, 64, 64),    # verify window
+    (2, 2, 128, 128),  # GQA, big head
+])
+def test_flash_decode_quant4_matches_oracle(T, G, hd, block_s):
+    from magicdec_tpu.ops.pallas.decode_attention import (
+        flash_decode_attend_quant4)
+
+    rng = np.random.RandomState(14)
+    B, Hkv, S = 3, 4, 256
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([17, 100, 256 - T], jnp.int32)
+    kq, ksc = _quantize_full4(k, Hkv)
+    vq, vsc = _quantize_full4(v, Hkv)
+    ref = attend_quant(q, kq, ksc, vq, vsc, base)
+    out = flash_decode_attend_quant4(q, kq, ksc, vq, vsc, base,
+                                     block_s=block_s, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_prefill_quant4_matches_oracle():
+    from magicdec_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attend_quant4)
+
+    rng = np.random.RandomState(15)
+    B, Hkv, G, C, S, hd = 2, 4, 2, 64, 256, 64
+    q = jnp.asarray(rng.randn(B, C, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([32, S - C], jnp.int32)
+    kq, ksc = _quantize_full4(k, Hkv)
+    vq, vsc = _quantize_full4(v, Hkv)
+    ref = attend_quant(q, kq, ksc, vq, vsc, base)
+    out = flash_prefill_attend_quant4(q, kq, ksc, vq, vsc, base,
+                                      block_s=64, block_r=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode,prefix", [("streamingllm", 96), ("snapkv", 104)])
+def test_spec_parity_with_int4_cache(mode, prefix):
+    """Golden gate under kv_quant='int4': greedy spec must reproduce greedy
+    autoregressive decoding, BOTH on the int4-packed target cache."""
+    B, max_gen = 2, 20
+    engine = SpecEngine(PARAMS, CFG, _ecfg(mode, kv_quant="int4"))
+    prompt = _prompt(B, prefix, seed=16)
+
+    bst = engine.encode_baseline(prompt)
+    _, bstats = engine.generate_baseline(bst, max_new=max_gen)
+    ref = np.asarray(bstats["output"][:, :max_gen])
+
+    st = engine.encode(prompt)
+    st, stats = engine.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= max_gen
+    for b in range(B):
+        m = min(int(n[b]), max_gen)
+        np.testing.assert_array_equal(
+            out[b, :m], ref[b, :m],
+            err_msg=f"kv_quant=int4 spec parity broken ({mode})")
+
+
+def test_int4_odd_kv_heads_rejected():
+    from magicdec_tpu.config import tiny_config
+
+    cfg = tiny_config(n_head=3, n_kv_head=3)
+    engine = SpecEngine({}, cfg, _ecfg("streamingllm", kv_quant="int4"))
+    with pytest.raises(ValueError, match="even kv-head"):
+        engine._zero_target_caches(2)

@@ -78,3 +78,16 @@ def test_quantization_perplexity_gate(bits, tol):
                                       chunk_size=16, cache_dtype=jnp.float32)
     rel = abs(nll_q - nll_full) / nll_full
     assert rel < tol, f"int{bits}: nll {nll_full:.4f} -> {nll_q:.4f} ({rel:.3%})"
+
+
+def test_kv_int4_perplexity_gate():
+    """int4 KV cache: bounded NLL drift (coarser than int8 — 15 levels per
+    (token, head) group — but must stay within a few percent)."""
+    data = _windows(2, 64, seed=7)
+    _, nll_full = quality.perplexity(PARAMS, CFG, data, batch_size=2,
+                                     chunk_size=16, cache_dtype=jnp.float32)
+    _, nll_q = quality.perplexity(PARAMS, CFG, data, batch_size=2,
+                                  chunk_size=16, cache_dtype=jnp.float32,
+                                  kv_quant="int4")
+    rel = abs(nll_q - nll_full) / nll_full
+    assert rel < 0.05, f"kv int4: nll {nll_full:.4f} -> {nll_q:.4f} ({rel:.3%})"
