@@ -12,6 +12,7 @@ Tasks:
   - variable_tracking: chained variable assignments, query the final hop
   - common_words_extraction: find the words common to all lists
   - freq_words_extraction: find the most frequent words
+  - qa: answer a question from a gold document among shuffled distractors
 """
 
 from __future__ import annotations
@@ -139,12 +140,47 @@ def generate_freq_words_extraction(num_samples: int = 16, vocab: int = 30,
                "length": len(prompt.split())}
 
 
+def generate_qa(num_samples: int = 16, context_words: int = 2000,
+                doc_words: int = 80, seed: int = 42) -> Iterator[Dict]:
+    """Document QA (reference Data/Ruler/synthetic/qa.py task family: a gold
+    passage among shuffled distractor documents, answer extractable from the
+    gold one).  The reference draws from SQuAD/HotpotQA json; this zero-egress
+    equivalent synthesises entity-fact documents with the same retrieval
+    structure and jsonl row shape."""
+    rng = random.Random(seed)
+    num_docs = max(2, context_words // max(doc_words, 1))
+    attrs = ["capital", "population", "founder", "currency", "anthem",
+             "airport code", "motto", "area code"]
+    for idx in range(num_samples):
+        docs = []
+        facts = []
+        for d in range(num_docs):
+            entity = _rand_word(rng, 8).capitalize()
+            attr = rng.choice(attrs)
+            value = _rand_word(rng, 7)
+            filler = " ".join(_fill_to_words(rng, doc_words))
+            docs.append(f"Document [{d + 1}] (about {entity}): {filler} "
+                        f"The {attr} of {entity} is {value}. {filler}")
+            facts.append((entity, attr, value))
+        gold = rng.randrange(num_docs)
+        rng.shuffle(docs)
+        entity, attr, value = facts[gold]
+        context = "\n\n".join(docs)
+        prompt = (f"Answer the question based on the given documents. Only "
+                  f"give me the answer and do not output any other words.\n\n"
+                  f"The following are given documents.\n\n{context}\n\n"
+                  f"Question: What is the {attr} of {entity}? Answer:")
+        yield {"index": idx, "input": prompt, "outputs": [value],
+               "length": len(prompt.split())}
+
+
 TASKS = {
     "niah_single": lambda **kw: generate_niah(num_needles=1, **kw),
     "niah_multikey": lambda **kw: generate_niah(num_needles=4, num_queries=2, **kw),
     "variable_tracking": generate_variable_tracking,
     "common_words_extraction": generate_common_words_extraction,
     "freq_words_extraction": generate_freq_words_extraction,
+    "qa": generate_qa,
 }
 
 

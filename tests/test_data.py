@@ -79,3 +79,15 @@ def test_ruler_write_jsonl(tmp_path):
     import json
     rows = [json.loads(l) for l in path.read_text().splitlines()]
     assert all("input" in r and "outputs" in r for r in rows)
+
+
+def test_ruler_qa_gold_among_distractors():
+    rows = list(R.generate_qa(num_samples=4, context_words=240, doc_words=30, seed=1))
+    assert len(rows) == 4
+    for row in rows:
+        [answer] = row["outputs"]
+        assert answer in row["input"]          # gold fact present
+        assert row["input"].count("Document [") == 8
+        # the question names the gold entity and the answer scores 1.0
+        assert R.score_row(row, f"the answer is {answer}") == 1.0
+        assert R.score_row(row, "unrelated") == 0.0
