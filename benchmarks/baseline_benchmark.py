@@ -60,6 +60,7 @@ def main():
         print(f"[batch {i}] {gen} tokens in {t.t:.3f}s "
               f"({gen / t.t:.1f} tok/s){' [warmup]' if i < args.warmup_batches else ''}",
               file=sys.stderr)
+        common.print_output(args, stats)
 
     if total_time > 0:
         print(f"Final tokens per second :{total_tokens / total_time:.2f}")

@@ -139,3 +139,25 @@ class Timer:
 
     def __exit__(self, *a):
         self.t += time.perf_counter() - self.t0
+
+
+def print_output(args, stats, max_rows: int = 4):
+    """--printoutput: decoded text (or raw ids without a tokenizer) of the
+    generated continuations — the reference's manual-inspection path
+    (tests/baseline_benchmark.py:94-96)."""
+    if not getattr(args, "printoutput", False):
+        return
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"]).reshape(-1)
+    tok = None
+    if getattr(args, "model_name", None):
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(args.model_name)
+        except Exception:
+            pass
+    for b in range(min(out.shape[0], max_rows)):
+        ids = out[b, : int(n[b])].tolist()
+        text = tok.decode(ids) if tok is not None else str(ids)
+        print(f"[output {b}] {text}", file=sys.stderr)

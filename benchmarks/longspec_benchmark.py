@@ -75,6 +75,7 @@ def main():
               f"({gen / t.t:.1f} tok/s)"
               f"{' [warmup]' if i < args.warmup_batches else ''}",
               file=sys.stderr)
+        common.print_output(args, stats)
 
     if total_time > 0:
         print("total time :{:.5f}s, time per iter :{:.5f}s, decoding step: {}, "

@@ -74,6 +74,7 @@ def main():
               f"{gen / steps / args.B:.2f} tok/step/seq)"
               f"{' [warmup]' if i < args.warmup_batches else ''}",
               file=sys.stderr)
+        common.print_output(args, stats)
 
     if total_time > 0:
         print("total time :{:.5f}s, time per iter :{:.5f}s, decoding step: {}, "
