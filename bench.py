@@ -82,7 +82,10 @@ def main():
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
     ecfg = EngineConfig(
         mode=args.mode, gamma=args.gamma, draft_budget=args.draft_budget,
-        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 511) // 512) * 512,
+        # rounded to 2048 so the decode kernels run at their largest KV block
+        # (ops/attention._pick_block_s); padded blocks beyond a request's
+        # length are clamp-skipped, so the extra capacity costs memory only
+        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 2047) // 2048) * 2048,
         chunk_size=128, prefill_chunk_size=args.prefill_chunk,
         max_gen=args.max_gen, eot_ids=(-1,),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,

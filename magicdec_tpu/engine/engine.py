@@ -108,7 +108,10 @@ class SpecEngine:
                 f"streamingllm eviction needs draft_budget - sink_size >= "
                 f"chunk_size (got {ecfg.draft_budget} - {ecfg.sink_size} < "
                 f"{ecfg.chunk_size}); the reference uses budget = 128k+1")
-        self._draft_cap = ecfg.draft_budget + _round_up(ecfg.max_gen + ecfg.gamma + 2, 128)
+        # rounded so the draft cache length tiles for the flash kernels
+        # (budget is 128k+1 per the reference contract, hence not a multiple)
+        self._draft_cap = _round_up(
+            ecfg.draft_budget + ecfg.max_gen + ecfg.gamma + 2, 128)
         self._out_cap = ecfg.max_gen + ecfg.gamma + 2
         self._eot = jnp.asarray(ecfg.eot_ids, dtype=jnp.int32)
         self.mesh = mesh
