@@ -80,12 +80,15 @@ def main():
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
+    # rounded so the decode kernels run at a large KV block
+    # (ops/attention._pick_block_s); padded blocks beyond a request's length
+    # are clamp-skipped, so the extra capacity costs memory only.  bf16 caches
+    # at 8k/B=32 sit near the HBM limit, so they round to 1024 instead.
+    seq_round = 2048 if args.kv_quant else 1024
     ecfg = EngineConfig(
         mode=args.mode, gamma=args.gamma, draft_budget=args.draft_budget,
-        # rounded to 2048 so the decode kernels run at their largest KV block
-        # (ops/attention._pick_block_s); padded blocks beyond a request's
-        # length are clamp-skipped, so the extra capacity costs memory only
-        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + 2047) // 2048) * 2048,
+        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + seq_round - 1)
+                     // seq_round) * seq_round,
         chunk_size=128, prefill_chunk_size=args.prefill_chunk,
         max_gen=args.max_gen, eot_ids=(-1,),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,

@@ -29,6 +29,7 @@ Weight shapes (F = intermediate size, hd = head_dim):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -88,41 +89,44 @@ def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
 # Layer skeleton
 # ---------------------------------------------------------------------------
 
-# An AttnHook maps (roped q, roped k, raw v, layer cache slice) -> (attn_out,
-# new layer cache slice).  It owns cache appends and the attention call; the
-# surrounding skeleton owns projections, norms, residuals and the MLP.
-AttnHook = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]]
+# An AttnHook maps (normed x, layer weights, FULL stacked caches, layer idx)
+# -> (attn_out, new stacked caches, per-layer rows to append post-scan).
+# Decode-path hooks leave caches untouched and return the layer's new KV as
+# ``rows`` (collected as scan ys and appended ONCE after the scan); prefill
+# hooks that must mutate caches between layers return updated caches and
+# rows=None.  The surrounding skeleton owns projections, norms, residuals and
+# the MLP.
+AttnHook = Callable[[jnp.ndarray, Params, Caches, jnp.ndarray],
+                    Tuple[jnp.ndarray, Caches, Any]]
 
 
 def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches,
-                layer_attn: Callable[[jnp.ndarray, Params, Any], Tuple[jnp.ndarray, Any]]):
+                layer_attn: AttnHook):
     """Run all layers with one lax.scan.  caches: pytree of [L, ...] arrays.
 
-    Caches ride in the scan *carry* and are updated in place with
-    dynamic_update_index_in_dim.  Passing them as scan xs/ys instead makes XLA
-    materialise a fresh stacked cache every forward (+2x full-cache writes per
-    decode step — measured 50ms -> 38ms per llama-3.2-1b step at 8k context on
-    v5e when switched to the carry form).
+    Caches ride in the scan *carry* (usually unmodified — passing them through
+    keeps a data dependence so the post-scan batched append can update them in
+    place) and hooks attend through layer-indexed kernels
+    (ops.attention.attend_cache) with the layer's fresh KV as separate
+    operands.  The alternatives are full HBM copies: materialising a
+    [B, S, K] layer slice for a custom-call operand costs ~4 full-cache
+    passes per forward (int8 decode step at 8k ctx: 55ms), and a per-layer
+    scatter interleaved with kernel reads of the same buffer costs ~12
+    (320ms) — the read-only scan + one batched append runs the same step in
+    ~25ms.  Returns (x, caches, rows) with rows layer-stacked [L, ...].
     """
 
     def body(carry, wl):
         x, caches, l = carry
-        cache_l = jax.tree.map(
-            lambda c: jax.lax.dynamic_index_in_dim(c, l, 0, keepdims=False),
-            caches)
-        attn_out, new_cache_l = layer_attn(
-            rms_norm(x, wl["attn_norm"], cfg.norm_eps), wl, cache_l)
-        caches = jax.tree.map(
-            lambda c, n: jax.lax.dynamic_update_index_in_dim(
-                c, n.astype(c.dtype), l, 0),
-            caches, new_cache_l)
+        attn_out, caches, rows = layer_attn(
+            rms_norm(x, wl["attn_norm"], cfg.norm_eps), wl, caches, l)
         h = x + attn_out
         out = h + _mlp(rms_norm(h, wl["ffn_norm"], cfg.norm_eps), wl)
-        return (out, caches, l + 1), None
+        return (out, caches, l + 1), rows
 
-    (x, new_caches, _), _ = jax.lax.scan(
+    (x, new_caches, _), rows = jax.lax.scan(
         body, (x, caches, jnp.zeros((), jnp.int32)), params["layers"])
-    return x, new_caches
+    return x, new_caches, rows
 
 
 def head_argmax(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,11 +181,14 @@ def _attn_project(x_norm: jnp.ndarray, wl: Params, cfg: ModelConfig,
 
 def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     caches: Caches, attn_hook_builder, *, return_logits: bool = False,
-                    head: str = None, sample: Optional[Dict[str, Any]] = None):
-    """Shared driver: embed -> scan(layers with hook) -> head.
+                    head: str = None, sample: Optional[Dict[str, Any]] = None,
+                    finalize=None):
+    """Shared driver: embed -> scan(layers with hook) -> finalize -> head.
 
-    attn_hook_builder(cfg, inv_freq) must return a function
-    (x_norm, wl, cache_l) -> (attn_out, new_cache_l).
+    attn_hook_builder(cfg, inv_freq) must return an AttnHook
+    (x_norm, wl, caches, l) -> (attn_out, caches, rows).
+    finalize(caches, rows): post-scan batched cache append (rows are the
+    scan-stacked [L, ...] per-layer outputs).
     head: 'argmax' (default) | 'logits' | 'none' (returns final hidden states,
     used by prefill chunks whose logits nobody reads).
     sample: Gumbel-coupled sampling spec (see head_sample); replaces the
@@ -192,7 +199,9 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     inv_freq = rope_inv_freq(cfg)
     x = params["embed"][tokens]
     layer_attn = attn_hook_builder(cfg, inv_freq)
-    x, new_caches = scan_layers(params, cfg, x, caches, layer_attn)
+    x, new_caches, rows = scan_layers(params, cfg, x, caches, layer_attn)
+    if finalize is not None:
+        new_caches = finalize(new_caches, rows)
     if head == "logits":
         x = rms_norm(x, params["final_norm"], cfg.norm_eps)
         return head_logits(params, x), new_caches
@@ -218,42 +227,69 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, cache_l):
+        def hook(x_norm, wl, caches, l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            out, new_cache = _target_attend(q, k, v, cache_l, base_lens,
-                                            backend=backend)
+            out, rows = _target_attend(q, k, v, caches, l, base_lens,
+                                       backend=backend)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, new_cache
+            return y, caches, rows
         return hook
 
+    finalize = functools.partial(_target_finalize, base_lens=base_lens)
     return forward_generic(params, cfg, tokens, caches, builder,
                            return_logits=return_logits, head=head,
-                           sample=sample)
+                           sample=sample, finalize=finalize)
 
 
-def _target_attend(q, k, v, cache_l, base_lens, *, backend):
-    """Append + attend on the target cache: bf16, int8, or int4-packed.
-
-    A quantized target cache carries per-(token, head) scales under 'ks'/'vs';
-    int4 is detected by the packed lane width (half the dense head lanes,
-    ops.kv_cache.pack_int4_heads).  Both branches are on pytree structure /
-    static shapes, so they are resolved at trace time.
+def _kv_rows(k, v, caches, prefix=""):
+    """The layer's new KV in the cache's at-rest format (dense cache dtype,
+    or quantized data + per-(token, head) scales).  These exact rows are BOTH
+    the kernels' fresh-token operands and what gets appended post-scan, so
+    attention numerics are identical to attending over the appended cache.
     """
-    if "ks" in cache_l:
+    kc = caches[prefix + "k"]
+    if (prefix + "ks") in caches and caches.get(prefix + "ks") is not None:
         Hkv, hd = k.shape[2], k.shape[3]
-        append = (kv_ops.append_kv_quant4
-                  if cache_l["k"].shape[2] == (Hkv // 2) * hd
-                  else kv_ops.append_kv_quant)
-        kc, vc, ks, vs = append(
-            cache_l["k"], cache_l["v"], cache_l["ks"], cache_l["vs"],
-            k, v, base_lens)
-        out = attn_ops.attend_auto_quant(q, kc, ks, vc, vs, base_lens,
-                                         backend=backend)
-        return out, {"k": kc, "v": vc, "ks": ks, "vs": vs}
-    kc, vc = kv_ops.append_kv(cache_l["k"], cache_l["v"], k, v, base_lens)
-    out = attn_ops.attend_auto(q, kc, vc, base_lens, backend=backend)
-    return out, {"k": kc, "v": vc}
+        qz = (kv_ops.quantize_kv_tokens_int4
+              if kc.shape[3] == (Hkv // 2) * hd
+              else kv_ops.quantize_kv_tokens)
+        kq, ksn = qz(k)
+        vq, vsn = qz(v)
+        return {"k": kq, "v": vq, "ks": ksn, "vs": vsn}
+    B, T = k.shape[:2]
+    return {"k": k.reshape(B, T, -1).astype(kc.dtype),
+            "v": v.reshape(B, T, -1).astype(kc.dtype)}
+
+
+def _append_rows(caches, rows, write_pos, prefix=""):
+    """Batched post-scan append of scan-stacked rows [L, B, T, ...]."""
+    out = {prefix + "k": kv_ops.append_rows_all_layers(
+               caches[prefix + "k"], rows["k"], write_pos),
+           prefix + "v": kv_ops.append_rows_all_layers(
+               caches[prefix + "v"], rows["v"], write_pos)}
+    if "ks" in rows:
+        out[prefix + "ks"] = kv_ops.append_scale_rows_all_layers(
+            caches[prefix + "ks"], rows["ks"], write_pos)
+        out[prefix + "vs"] = kv_ops.append_scale_rows_all_layers(
+            caches[prefix + "vs"], rows["vs"], write_pos)
+    return {**caches, **out}
+
+
+def _target_finalize(caches, rows, *, base_lens):
+    return _append_rows(caches, rows, base_lens)
+
+
+def _target_attend(q, k, v, caches, l, base_lens, *, backend):
+    """Attend layer l of the stacked target cache (bf16, int8, or
+    int4-packed) WITHOUT appending: the layer's new KV rides as fresh-token
+    kernel operands and is returned as ``rows`` for the post-scan batched
+    append (see scan_layers — this is what keeps the cache copy-free).
+    """
+    rows = _kv_rows(k, v, caches)
+    out = attn_ops.attend_cache(q, caches, base_lens, layer=l, backend=backend,
+                                fresh=rows)
+    return out, rows
 
 
 def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
@@ -272,19 +308,23 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, cache_l):
+        def hook(x_norm, wl, caches, l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            tcache = {n: cache_l[n] for n in cache_l if n in ("k", "v", "ks", "vs")}
-            out, new_t = _target_attend(q, k, v, tcache, base_lens,
-                                        backend=backend)
+            out, rows = _target_attend(q, k, v, caches, l, base_lens,
+                                       backend=backend)
             # draft cache stays bf16 (it is budget-sized, not bandwidth-bound)
-            dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
+            drows = _kv_rows(k, v, caches, prefix="d")
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {**new_t, "dk": dk, "dv": dv}
+            return y, caches, {"t": rows, "d": drows}
         return hook
 
-    return forward_generic(params, cfg, tokens, caches, builder, sample=sample)
+    def finalize(caches, rows):
+        caches = _append_rows(caches, rows["t"], base_lens)
+        return _append_rows(caches, rows["d"], draft_fill, prefix="d")
+
+    return forward_generic(params, cfg, tokens, caches, builder, sample=sample,
+                           finalize=finalize)
 
 
 def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
@@ -307,33 +347,49 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, cache_l):
+        def hook(x_norm, wl, caches, l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            tcache = {n: cache_l[n] for n in cache_l if n in ("k", "v", "ks", "vs")}
-            out, new_t = _target_attend(q, k, v, tcache, base_lens,
-                                        backend=backend)
-            kc, vc = new_t["k"], new_t["v"]
-            if "ks" in new_t:
-                # compression scores/gathers need dense values; one-time
-                # (prefill-only) dequant of the full target cache
-                kc = kv_ops.dequant_kv(kc, new_t["ks"], cfg.head_dim, q.dtype)
-                vc = kv_ops.dequant_kv(vc, new_t["vs"], cfg.head_dim, q.dtype)
+            out, rows = _target_attend(q, k, v, caches, l, base_lens,
+                                       backend=backend)
+            # compression scores/gathers need this layer's dense KV including
+            # the window; the slice (+ dequant when quantized) is prefill-only
+            kc = jax.lax.dynamic_index_in_dim(caches["k"], l, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(caches["v"], l, 0, keepdims=False)
+            if "ks" in caches:
+                ks = jax.lax.dynamic_index_in_dim(caches["ks"], l, 0, keepdims=False)
+                vs = jax.lax.dynamic_index_in_dim(caches["vs"], l, 0, keepdims=False)
+                ks = attn_ops._dus_scale_rows(ks, rows["ks"], base_lens)
+                vs = attn_ops._dus_scale_rows(vs, rows["vs"], base_lens)
+                kc = kv_ops.dequant_kv(
+                    attn_ops._dus_rows(kc, rows["k"], base_lens), ks,
+                    cfg.head_dim, q.dtype)
+                vc = kv_ops.dequant_kv(
+                    attn_ops._dus_rows(vc, rows["v"], base_lens), vs,
+                    cfg.head_dim, q.dtype)
+            else:
+                kc = attn_ops._dus_rows(kc, rows["k"], base_lens)
+                vc = attn_ops._dus_rows(vc, rows["v"], base_lens)
             q_win = q[:, -window:]
             dk_new, dv_new = snapkv_compress(
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
                 kernel_size=kernel_size, pooling=pooling)
             Bq = q_win.shape[0]
-            dk = cache_l["dk"].at[:, :budget].set(
-                dk_new.reshape(Bq, budget, -1).astype(cache_l["dk"].dtype))
-            dv = cache_l["dv"].at[:, :budget].set(
-                dv_new.reshape(Bq, budget, -1).astype(cache_l["dv"].dtype))
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {**new_t, "dk": dk, "dv": dv}
+            drows = {"dk": dk_new.reshape(Bq, budget, -1).astype(caches["dk"].dtype),
+                     "dv": dv_new.reshape(Bq, budget, -1).astype(caches["dv"].dtype)}
+            return y, caches, {"t": rows, "d": drows}
         return hook
 
+    def finalize(caches, rows):
+        caches = _append_rows(caches, rows["t"], base_lens)
+        # compressed draft sets fill slots [0, budget) of every layer at once
+        dk = caches["dk"].at[:, :, :budget].set(rows["d"]["dk"])
+        dv = caches["dv"].at[:, :, :budget].set(rows["d"]["dv"])
+        return {**caches, "dk": dk, "dv": dv}
+
     return forward_generic(params, cfg, tokens, caches, builder, head=head,
-                           sample=sample)
+                           sample=sample, finalize=finalize)
 
 
 def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
@@ -358,9 +414,14 @@ def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
     slot_pos = jnp.arange(budget, dtype=jnp.int32)
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, cache_l):
+        def hook(x_norm, wl, caches, l):
+            # prefill-only path: the eviction/re-rope logic works on this
+            # layer's slice of the (budget-sized) draft cache; slice copies
+            # here are cheap and nothing feeds a custom call
             q, k, v = _attn_project(x_norm, wl, cfg, pos_q, None, inv_freq)
-            dk, dv, _, _ = stream_update_raw(cache_l["dk"], cache_l["dv"], k, v,
+            dk_l = jax.lax.dynamic_index_in_dim(caches["dk"], l, 0, keepdims=False)
+            dv_l = jax.lax.dynamic_index_in_dim(caches["dv"], l, 0, keepdims=False)
+            dk, dv, _, _ = stream_update_raw(dk_l, dv_l, k, v,
                                              fill, budget=budget, sink=sink)
             hd = cfg.head_dim
             kv_heads = dk.shape[2] // hd
@@ -369,7 +430,12 @@ def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
             out = attn_ops.attend(q, k_att.reshape(B, budget, -1),
                                   dv[:, :budget], base, causal=True)
             y = matmul(out.reshape(B, C, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {"dk": dk, "dv": dv}
+            caches = {**caches,
+                      "dk": jax.lax.dynamic_update_index_in_dim(
+                          caches["dk"], dk.astype(caches["dk"].dtype), l, 0),
+                      "dv": jax.lax.dynamic_update_index_in_dim(
+                          caches["dv"], dv.astype(caches["dv"].dtype), l, 0)}
+            return y, caches, None
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder, head="none")
@@ -408,13 +474,19 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = rope_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, cache_l):
+        def hook(x_norm, wl, caches, l):
             q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
-            dk, dv = kv_ops.append_kv(cache_l["dk"], cache_l["dv"], k, v, draft_fill)
-            out = attn_ops.attend_auto(q, dk, dv, draft_fill, backend=backend)
+            rows = _kv_rows(k, v, caches, prefix="d")
+            out = attn_ops.attend_cache(q, caches, draft_fill, layer=l,
+                                        backend=backend, prefix="d",
+                                        fresh=rows)
             B, t = x_norm.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, {"dk": dk, "dv": dv}
+            return y, caches, rows
         return hook
 
-    return forward_generic(params, cfg, tokens, caches, builder, sample=sample)
+    def finalize(caches, rows):
+        return _append_rows(caches, rows, draft_fill, prefix="d")
+
+    return forward_generic(params, cfg, tokens, caches, builder, sample=sample,
+                           finalize=finalize)

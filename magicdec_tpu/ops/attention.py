@@ -155,3 +155,120 @@ def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                                             block_s=block_s,
                                             block_r=min(512, G * T))
     return attend(q, k_cache, v_cache, base_lens, causal=True)
+
+
+# ---------------------------------------------------------------------------
+# Layer-stacked dispatch (zero-copy layer scan)
+# ---------------------------------------------------------------------------
+
+
+def _slice_layer(x, layer):
+    return jax.lax.dynamic_index_in_dim(x, layer, 0, keepdims=False)
+
+
+def _dus_rows(cache_l, rows, pos):
+    """Write rows [B, T, Kc] at per-request pos into a layer slice [B, S, Kc]."""
+    def _upd(c_b, r_b, p_b):
+        return jax.lax.dynamic_update_slice(c_b, r_b.astype(c_b.dtype), (p_b, 0))
+    return jax.vmap(_upd)(cache_l, rows, pos)
+
+
+def _dus_scale_rows(scale_l, rows, pos):
+    """Write scale rows [B, H, T] at pos into a layer slice [B, H, S]."""
+    def _upd(s_b, r_b, p_b):
+        return jax.lax.dynamic_update_slice(s_b, r_b, (0, p_b))
+    return jax.vmap(_upd)(scale_l, rows, pos)
+
+
+def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
+                 prefix: str = "", fresh=None) -> jnp.ndarray:
+    """Causal attention over layer `layer` of stacked caches.
+
+    caches: {'k','v'} (+ {'ks','vs'} when quantized) with arrays [L, B, ...];
+    `prefix` renames the keys (draft caches use 'dk'/'dv').  The flash path
+    passes the stacked arrays straight into the kernels (BlockSpec index maps
+    select the layer — no [B, S, K] slice is ever materialised; a slice
+    feeding a custom call is a full HBM copy, ~4 full-cache passes per forward
+    step when done per layer).  The jnp oracle path slices (tests/CPU).
+
+    ``fresh``: the T window/chunk tokens when the cache does NOT yet contain
+    them — the caller appends these exact rows AFTER attention so the cache
+    buffer keeps a single-ownership chain across the layer scan (a scatter
+    and a kernel both consuming the same buffer in one scan body forces
+    full-cache copies: measured 320ms vs 25ms per decode step at 8k/B=32).
+    Dense caches: {'k': [B,T,K] rows, 'v': ...} in cache dtype; quantized:
+    {'k','v' int8/int4-packed rows, 'ks','vs' f32 [B,Hkv,T]} — the SAME
+    quantized values that get appended, so numerics are bit-identical to
+    attending over the appended cache.
+    """
+    k_cache = caches[prefix + "k"]
+    v_cache = caches[prefix + "v"]
+    quant = (prefix + "ks") in caches and caches.get(prefix + "ks") is not None
+    hd = q.shape[-1]
+    T = q.shape[1]
+    S = k_cache.shape[2]
+
+    if quant:
+        k_scale = caches[prefix + "ks"]
+        v_scale = caches[prefix + "vs"]
+        Hkv = k_scale.shape[2]
+        packed4 = k_cache.shape[3] == (Hkv // 2) * hd
+        fresh_kw = ({} if fresh is None else
+                    dict(k_new=fresh["k"], v_new=fresh["v"],
+                         ks_new=fresh["ks"], vs_new=fresh["vs"]))
+        if backend == "flash":
+            if T <= 16:
+                block_s = _pick_block_s(S, k_cache.shape[3])
+                if block_s is not None:
+                    from magicdec_tpu.ops.pallas import decode_attention as DA
+                    fn = (DA.flash_decode_attend_quant4 if packed4
+                          else DA.flash_decode_attend_quant)
+                    return fn(q, k_cache, k_scale, v_cache, v_scale,
+                              base_lens, layer=layer, block_s=block_s,
+                              **fresh_kw)
+            else:
+                G = q.shape[2] // Hkv
+                block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
+                if block_s is not None and (G * T) % 128 == 0:
+                    from magicdec_tpu.ops.pallas import prefill_attention as PA
+                    fn = (PA.flash_prefill_attend_quant4 if packed4
+                          else PA.flash_prefill_attend_quant)
+                    return fn(q, k_cache, k_scale, v_cache, v_scale,
+                              base_lens, layer=layer, block_s=block_s,
+                              block_r=min(512, G * T), **fresh_kw)
+        kc = _slice_layer(k_cache, layer)
+        vc = _slice_layer(v_cache, layer)
+        ks = _slice_layer(k_scale, layer)
+        vs = _slice_layer(v_scale, layer)
+        if fresh is not None:  # oracle: append into the slice, then attend
+            kc = _dus_rows(kc, fresh["k"], base_lens)
+            vc = _dus_rows(vc, fresh["v"], base_lens)
+            ks = _dus_scale_rows(ks, fresh["ks"], base_lens)
+            vs = _dus_scale_rows(vs, fresh["vs"], base_lens)
+        return attend_quant(q, kc, ks, vc, vs, base_lens, causal=True)
+
+    fresh_kw = ({} if fresh is None else
+                dict(k_new=fresh["k"], v_new=fresh["v"]))
+    if backend == "flash":
+        if T <= 16:
+            block_s = _pick_block_s(S, k_cache.shape[3] * k_cache.dtype.itemsize)
+            if block_s is not None:
+                from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
+                return flash_decode_attend(q, k_cache, v_cache, base_lens,
+                                           layer=layer, block_s=block_s,
+                                           **fresh_kw)
+        else:
+            G = q.shape[2] * hd // k_cache.shape[3]
+            block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
+            if block_s is not None and (G * T) % 128 == 0:
+                from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
+                return flash_prefill_attend(q, k_cache, v_cache, base_lens,
+                                            layer=layer, block_s=block_s,
+                                            block_r=min(512, G * T),
+                                            **fresh_kw)
+    kc = _slice_layer(k_cache, layer)
+    vc = _slice_layer(v_cache, layer)
+    if fresh is not None:
+        kc = _dus_rows(kc, fresh["k"], base_lens)
+        vc = _dus_rows(vc, fresh["v"], base_lens)
+    return attend(q, kc, vc, base_lens, causal=True)

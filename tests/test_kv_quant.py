@@ -293,3 +293,96 @@ def test_int4_odd_kv_heads_rejected():
     engine = SpecEngine({}, cfg, _ecfg("streamingllm", kv_quant="int4"))
     with pytest.raises(ValueError, match="even kv-head"):
         engine._zero_target_caches(2)
+
+
+@pytest.mark.parametrize("bits,T", [(8, 1), (8, 4), (4, 1), (4, 4)])
+def test_flash_decode_quant_fresh_matches_appended(bits, T):
+    """fresh-token mode (quantized rows as separate operands) must equal
+    attending over the appended quantized cache — the numerics that make the
+    read-only layer scan safe for golden parity."""
+    from magicdec_tpu.ops.pallas.decode_attention import (
+        flash_decode_attend_quant, flash_decode_attend_quant4)
+
+    rng = np.random.RandomState(24)
+    B, Hkv, G, S, hd = 3, 4, 2, 256, 64
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, T, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, T, Hkv, hd), jnp.float32)
+    base = jnp.asarray([0, 100, S - T], jnp.int32)
+
+    qz = (kv_ops.quantize_kv_tokens if bits == 8
+          else kv_ops.quantize_kv_tokens_int4)
+    kq, ks = qz(k)
+    vq, vs = qz(v)
+    knq, ksn = qz(k_new)
+    vnq, vsn = qz(v_new)
+
+    # reference: append the SAME quantized rows + scales, then oracle-attend
+    def app(c, r, base):
+        out = np.asarray(c).copy()
+        for b in range(B):
+            p = int(base[b])
+            out[b, p:p + T] = np.asarray(r)[b]
+        return jnp.asarray(out)
+
+    def app_s(s, r, base):
+        out = np.asarray(s).copy()
+        for b in range(B):
+            p = int(base[b])
+            out[b, :, p:p + T] = np.asarray(r)[b]
+        return jnp.asarray(out)
+
+    ref = attend_quant(q, app(kq, knq, base), app_s(ks, ksn, base),
+                       app(vq, vnq, base), app_s(vs, vsn, base), base)
+    fn = flash_decode_attend_quant if bits == 8 else flash_decode_attend_quant4
+    out = fn(q, kq, ks, vq, vs, base, k_new=knq, v_new=vnq, ks_new=ksn,
+             vs_new=vsn, block_s=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_flash_prefill_quant_fresh_matches_appended(bits):
+    from magicdec_tpu.ops.pallas.prefill_attention import (
+        flash_prefill_attend_quant, flash_prefill_attend_quant4)
+
+    rng = np.random.RandomState(25)
+    B, Hkv, G, C, S, hd = 2, 4, 2, 64, 256, 64
+    q = jnp.asarray(rng.randn(B, C, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv, hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, C, Hkv, hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, C, Hkv, hd), jnp.float32)
+    base = jnp.asarray([0, S - C], jnp.int32)
+
+    qz = (kv_ops.quantize_kv_tokens if bits == 8
+          else kv_ops.quantize_kv_tokens_int4)
+    kq, ks = qz(k)
+    vq, vs = qz(v)
+    knq, ksn = qz(k_new)
+    vnq, vsn = qz(v_new)
+
+    def app(c, r, base):
+        out = np.asarray(c).copy()
+        for b in range(B):
+            p = int(base[b])
+            out[b, p:p + C] = np.asarray(r)[b]
+        return jnp.asarray(out)
+
+    def app_s(s, r, base):
+        out = np.asarray(s).copy()
+        for b in range(B):
+            p = int(base[b])
+            out[b, :, p:p + C] = np.asarray(r)[b]
+        return jnp.asarray(out)
+
+    ref = attend_quant(q, app(kq, knq, base), app_s(ks, ksn, base),
+                       app(vq, vnq, base), app_s(vs, vsn, base), base)
+    fn = (flash_prefill_attend_quant if bits == 8
+          else flash_prefill_attend_quant4)
+    out = fn(q, kq, ks, vq, vs, base, k_new=knq, v_new=vnq, ks_new=ksn,
+             vs_new=vsn, block_s=64, block_r=C * G, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

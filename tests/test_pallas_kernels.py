@@ -99,3 +99,81 @@ class TestQuantMatmulKernel:
                                   block_out=64, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# fresh-token mode: window/chunk tokens as separate operands (the read-only
+# layer-scan design — ops/attention.attend_cache) must equal attending over
+# the appended cache.
+# ---------------------------------------------------------------------------
+
+
+def _fresh_setup(seed, B, Hkv, G, S, hd, T):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, T, Hkv * hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, T, Hkv * hd), jnp.float32)
+    base = jnp.asarray([3, S // 2, S - T][:B], jnp.int32)
+    return q, k, v, k_new, v_new, base
+
+
+def _appended(cache, rows, base):
+    out = np.asarray(cache).copy()
+    for b in range(cache.shape[0]):
+        p = int(base[b])
+        out[b, p:p + rows.shape[1]] = np.asarray(rows)[b]
+    return jnp.asarray(out)
+
+
+@pytest.mark.parametrize("T,layered", [(1, False), (4, True)])
+def test_flash_decode_fresh_matches_appended(T, layered):
+    from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
+
+    B, Hkv, G, S, hd = 3, 2, 2, 256, 64
+    q, k, v, k_new, v_new, base = _fresh_setup(21, B, Hkv, G, S, hd, T)
+    ka, va = _appended(k, k_new, base), _appended(v, v_new, base)
+    ref = attend(q, ka, va, base)
+    if layered:
+        k, v = jnp.stack([jnp.zeros_like(k), k]), jnp.stack([jnp.zeros_like(v), v])
+        layer = jnp.asarray(1, jnp.int32)
+    else:
+        layer = None
+    out = flash_decode_attend(q, k, v, base, layer=layer, k_new=k_new,
+                              v_new=v_new, block_s=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("C", [32, 64])
+def test_flash_prefill_fresh_matches_appended(C):
+    from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
+
+    B, Hkv, G, S, hd = 2, 2, 2, 256, 64
+    q, k, v, k_new, v_new, base = _fresh_setup(22, B, Hkv, G, S, hd, C)
+    ka, va = _appended(k, k_new, base), _appended(v, v_new, base)
+    ref = attend(q, ka, va, base)
+    out = flash_prefill_attend(q, k, v, base, k_new=k_new, v_new=v_new,
+                               block_s=64, block_r=C * G, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_decode_fresh_from_empty_cache():
+    """base = 0 for some requests: only the fresh tokens are visible."""
+    from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
+
+    B, Hkv, G, S, hd, T = 2, 2, 2, 128, 64, 3
+    rng = np.random.RandomState(23)
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    k_new = jnp.asarray(rng.randn(B, T, Hkv * hd), jnp.float32)
+    v_new = jnp.asarray(rng.randn(B, T, Hkv * hd), jnp.float32)
+    base = jnp.asarray([0, 64], jnp.int32)
+    ref = attend(q, _appended(k, k_new, base), _appended(v, v_new, base), base)
+    out = flash_decode_attend(q, k, v, base, k_new=k_new, v_new=v_new,
+                              block_s=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
