@@ -84,7 +84,7 @@ def main():
     # (ops/attention._pick_block_s); padded blocks beyond a request's length
     # are clamp-skipped, so the extra capacity costs memory only.  bf16 caches
     # at 8k/B=32 sit near the HBM limit, so they round to 1024 instead.
-    seq_round = 2048 if args.kv_quant else 1024
+    seq_round = 2048 if args.kv_quant else 512
     ecfg = EngineConfig(
         mode=args.mode, gamma=args.gamma, draft_budget=args.draft_budget,
         max_seq_len=((prefix + args.max_gen + args.gamma + 2 + seq_round - 1)

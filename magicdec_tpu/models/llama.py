@@ -236,7 +236,8 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             return y, caches, rows
         return hook
 
-    finalize = functools.partial(_target_finalize, base_lens=base_lens)
+    finalize = functools.partial(_target_finalize, base_lens=base_lens,
+                                 backend=backend)
     return forward_generic(params, cfg, tokens, caches, builder,
                            return_logits=return_logits, head=head,
                            sample=sample, finalize=finalize)
@@ -262,22 +263,28 @@ def _kv_rows(k, v, caches, prefix=""):
             "v": v.reshape(B, T, -1).astype(kc.dtype)}
 
 
-def _append_rows(caches, rows, write_pos, prefix=""):
-    """Batched post-scan append of scan-stacked rows [L, B, T, ...]."""
-    out = {prefix + "k": kv_ops.append_rows_all_layers(
-               caches[prefix + "k"], rows["k"], write_pos),
-           prefix + "v": kv_ops.append_rows_all_layers(
-               caches[prefix + "v"], rows["v"], write_pos)}
+def _append_rows(caches, rows, write_pos, prefix="", backend="jnp"):
+    """Batched post-scan append of scan-stacked rows [L, B, T, ...].
+
+    On the flash path the append is an aliased in-place pallas RMW
+    (kv_ops.append_rows_inplace) — the jnp scatter forces XLA to insert a
+    defensive full-cache copy (time AND peak-memory) because the attention
+    custom calls read the same buffer within the step."""
+    inplace = backend == "flash"
+    app = (kv_ops.append_rows_inplace if inplace
+           else kv_ops.append_rows_all_layers)
+    app_s = (kv_ops.append_scale_rows_inplace if inplace
+             else kv_ops.append_scale_rows_all_layers)
+    out = {prefix + "k": app(caches[prefix + "k"], rows["k"], write_pos),
+           prefix + "v": app(caches[prefix + "v"], rows["v"], write_pos)}
     if "ks" in rows:
-        out[prefix + "ks"] = kv_ops.append_scale_rows_all_layers(
-            caches[prefix + "ks"], rows["ks"], write_pos)
-        out[prefix + "vs"] = kv_ops.append_scale_rows_all_layers(
-            caches[prefix + "vs"], rows["vs"], write_pos)
+        out[prefix + "ks"] = app_s(caches[prefix + "ks"], rows["ks"], write_pos)
+        out[prefix + "vs"] = app_s(caches[prefix + "vs"], rows["vs"], write_pos)
     return {**caches, **out}
 
 
-def _target_finalize(caches, rows, *, base_lens):
-    return _append_rows(caches, rows, base_lens)
+def _target_finalize(caches, rows, *, base_lens, backend="jnp"):
+    return _append_rows(caches, rows, base_lens, backend=backend)
 
 
 def _target_attend(q, k, v, caches, l, base_lens, *, backend):
@@ -320,8 +327,9 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         return hook
 
     def finalize(caches, rows):
-        caches = _append_rows(caches, rows["t"], base_lens)
-        return _append_rows(caches, rows["d"], draft_fill, prefix="d")
+        caches = _append_rows(caches, rows["t"], base_lens, backend=backend)
+        return _append_rows(caches, rows["d"], draft_fill, prefix="d",
+                            backend=backend)
 
     return forward_generic(params, cfg, tokens, caches, builder, sample=sample,
                            finalize=finalize)
@@ -382,7 +390,7 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
         return hook
 
     def finalize(caches, rows):
-        caches = _append_rows(caches, rows["t"], base_lens)
+        caches = _append_rows(caches, rows["t"], base_lens, backend=backend)
         # compressed draft sets fill slots [0, budget) of every layer at once
         dk = caches["dk"].at[:, :, :budget].set(rows["d"]["dk"])
         dv = caches["dv"].at[:, :, :budget].set(rows["d"]["dv"])
@@ -486,7 +494,8 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         return hook
 
     def finalize(caches, rows):
-        return _append_rows(caches, rows, draft_fill, prefix="d")
+        return _append_rows(caches, rows, draft_fill, prefix="d",
+                            backend=backend)
 
     return forward_generic(params, cfg, tokens, caches, builder, sample=sample,
                            finalize=finalize)

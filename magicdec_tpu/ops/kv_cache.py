@@ -289,3 +289,143 @@ def append_scale_rows_all_layers(scale, rows, write_pos):
     def _upd(s_b, r_b, pos_b):  # [L, H, S], [L, H, T]
         return jax.lax.dynamic_update_slice(s_b, r_b, (0, 0, pos_b))
     return jax.vmap(_upd, in_axes=(1, 1, 0), out_axes=1)(scale, rows, write_pos)
+
+
+def _inplace_rows_kernel(pos_ref, new_ref, cache_ref, out_ref, *, T, Tp, S):
+    """RMW one 8-row block: copy-through + merge the new rows that land in
+    it.  Idempotent in the block index (the row-range test is global), so the
+    clamped second grid step is safe when the window fits one block."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    pos = pos_ref[b]
+    jb = jnp.minimum(pos // 8 + t, S // 8 - 1)
+    grow = jb * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    in_range = (grow >= pos) & (grow < pos + T)
+    idx = jnp.clip(grow - pos, 0, Tp - 1)
+    sel = (idx == jax.lax.broadcasted_iota(jnp.int32, (8, Tp), 1)).astype(jnp.float32)
+    merged = jax.lax.dot_general(sel, new_ref[0].astype(jnp.float32),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.where(in_range, merged.astype(out_ref.dtype),
+                              cache_ref[0, 0])
+
+
+def _inplace_scale_kernel(pos_ref, new_ref, scale_ref, out_ref, *, T, Tp, S):
+    """Scale counterpart: RMW one 128-column block of [H, S]."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    pos = pos_ref[b]
+    cb = jnp.minimum(pos // 128 + t, S // 128 - 1)
+    H = new_ref.shape[1]
+    gcol = cb * 128 + jax.lax.broadcasted_iota(jnp.int32, (Tp, 128), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (Tp, 128), 0)
+    sel = (gcol - pos == idx).astype(jnp.float32)                  # [Tp, 128]
+    merged = jax.lax.dot_general(new_ref[0].astype(jnp.float32), sel,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [H,128]
+    col1 = cb * 128 + jax.lax.broadcasted_iota(jnp.int32, (H, 128), 1)
+    in_range = (col1 >= pos) & (col1 < pos + T)
+    out_ref[0, 0] = jnp.where(in_range, merged.astype(out_ref.dtype),
+                              scale_ref[0, 0])
+
+
+def append_rows_inplace(cache, rows, write_pos, *, interpret=False):
+    """In-place (aliased) pallas append.
+
+    cache [L, B, S, Kc]; rows [L, B, T, Kc]; write_pos [B].  Unlike the jnp
+    scatter, the input_output_aliases contract TELLS XLA the update is
+    in-place, so no defensive full-cache copy is inserted even though the
+    attention custom calls read the same buffer within the step (the scatter
+    version costs one full-cache r/w pass per decode step AND doubles peak
+    HBM — bf16 at 8k/B=32 OOMs).  RMW granularity: the T//8 + 1 eight-row
+    blocks the window touches per (layer, request); interior blocks are fully
+    overwritten, boundary blocks merge with the old content (idempotent in
+    the block index, so clamped grid steps are safe).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as _ft
+
+    L, B, S, Kc = cache.shape
+    T = rows.shape[2]
+    Tp = (T + 7) // 8 * 8
+    if T < Tp:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+
+    def new_map(l, b, t, pr):
+        return (l, b, 0, 0)
+
+    def blk_map(l, b, t, pr):
+        return (l, b, jnp.minimum(pr[b] // 8 + t, S // 8 - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B, (T + 6) // 8 + 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, Tp, Kc), new_map),
+            pl.BlockSpec((1, 1, 8, Kc), blk_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, Kc), blk_map),
+    )
+    kern = _ft.partial(_inplace_rows_kernel, T=T, Tp=Tp, S=S)
+
+    def kernel(pos_ref, new_ref, cache_ref, out_ref):
+        # grid leading dim is L; reuse the row kernel (it only uses b, t)
+        kern(pos_ref, new_ref[0], cache_ref, out_ref)
+
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(write_pos.astype(jnp.int32), rows, cache)
+
+
+def append_scale_rows_inplace(scale, rows, write_pos, *, interpret=False):
+    """Scale counterpart: scale [L, B, H, S]; rows [L, B, H, T] (T <= 8)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as _ft
+
+    L, B, H, S = scale.shape
+    T = rows.shape[3]
+    Tp = (T + 7) // 8 * 8
+    if T < Tp:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (0, Tp - T)))
+
+    def new_map(l, b, t, pr):
+        return (l, b, 0, 0)
+
+    def blk_map(l, b, t, pr):
+        return (l, b, 0, jnp.minimum(pr[b] // 128 + t, S // 128 - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B, (T + 126) // 128 + 1),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, Tp), new_map),
+            pl.BlockSpec((1, 1, H, 128), blk_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, 128), blk_map),
+    )
+    kern = _ft.partial(_inplace_scale_kernel, T=T, Tp=Tp, S=S)
+
+    def kernel(pos_ref, new_ref, scale_ref, out_ref):
+        kern(pos_ref, new_ref[0], scale_ref, out_ref)
+
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(scale.shape, scale.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(write_pos.astype(jnp.int32), rows, scale)
