@@ -208,65 +208,11 @@ def gather_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray, indices: jnp.ndarray,
 # Layer-stacked appends (zero-copy layer scan)
 # ---------------------------------------------------------------------------
 #
-# The layer scan keeps caches stacked as [L, B, S, ...] and appends into layer
-# `layer` directly — materialising a [B, S, K] layer slice per layer (the
-# alternative) costs a full HBM copy whenever the slice feeds a Pallas custom
-# call, which measured as ~4 full-cache passes per forward step.
-
-
-def append_kv_stacked(k_cache, v_cache, k_new, v_new, write_pos, layer):
-    """append_kv into layer `layer` of stacked caches [L, B, S, H_kv*hd].
-
-    k_new/v_new: [B, T, H_kv, hd]; write_pos: [B] int32; layer: int32 scalar.
-    """
-    B, T = k_new.shape[:2]
-    k_new = k_new.reshape(B, T, -1).astype(k_cache.dtype)
-    v_new = v_new.reshape(B, T, -1).astype(v_cache.dtype)
-
-    def _upd(cache_b, new_b, pos_b):  # cache_b: [L, S, K]
-        return jax.lax.dynamic_update_slice(cache_b, new_b[None],
-                                            (layer, pos_b, 0))
-
-    k_cache = jax.vmap(_upd, in_axes=(1, 0, 0), out_axes=1)(k_cache, k_new, write_pos)
-    v_cache = jax.vmap(_upd, in_axes=(1, 0, 0), out_axes=1)(v_cache, v_new, write_pos)
-    return k_cache, v_cache
-
-
-def _append_quant_stacked(k_cache, v_cache, k_scale, v_scale, kq, ks_new, vq,
-                          vs_new, write_pos, layer):
-    def _upd(cache_b, new_b, pos_b):  # cache_b: [L, S, Kc]
-        return jax.lax.dynamic_update_slice(cache_b, new_b[None],
-                                            (layer, pos_b, 0))
-
-    def _upd_scale(s_b, new_b, pos_b):  # s_b: [L, H, S]
-        return jax.lax.dynamic_update_slice(s_b, new_b[None],
-                                            (layer, 0, pos_b))
-
-    k_cache = jax.vmap(_upd, in_axes=(1, 0, 0), out_axes=1)(k_cache, kq, write_pos)
-    v_cache = jax.vmap(_upd, in_axes=(1, 0, 0), out_axes=1)(v_cache, vq, write_pos)
-    k_scale = jax.vmap(_upd_scale, in_axes=(1, 0, 0), out_axes=1)(k_scale, ks_new, write_pos)
-    v_scale = jax.vmap(_upd_scale, in_axes=(1, 0, 0), out_axes=1)(v_scale, vs_new, write_pos)
-    return k_cache, v_cache, k_scale, v_scale
-
-
-def append_kv_quant_stacked(k_cache, v_cache, k_scale, v_scale, k_new, v_new,
-                            write_pos, layer):
-    """append_kv_quant into layer `layer` of stacked int8 caches
-    ([L, B, S, H*hd] data, [L, B, H, S] scales)."""
-    kq, ks_new = quantize_kv_tokens(k_new)
-    vq, vs_new = quantize_kv_tokens(v_new)
-    return _append_quant_stacked(k_cache, v_cache, k_scale, v_scale,
-                                 kq, ks_new, vq, vs_new, write_pos, layer)
-
-
-def append_kv_quant4_stacked(k_cache, v_cache, k_scale, v_scale, k_new, v_new,
-                             write_pos, layer):
-    """append_kv_quant4 into layer `layer` of stacked int4-packed caches
-    ([L, B, S, (H//2)*hd] data, [L, B, H, S] scales)."""
-    kq, ks_new = quantize_kv_tokens_int4(k_new)
-    vq, vs_new = quantize_kv_tokens_int4(v_new)
-    return _append_quant_stacked(k_cache, v_cache, k_scale, v_scale,
-                                 kq, ks_new, vq, vs_new, write_pos, layer)
+# The layer scan is read-only over the stacked [L, B, S, ...] caches; each
+# layer's new KV is collected as scan ys and appended ONCE per forward —
+# in place via the aliased pallas RMW kernels below on the flash path, or via
+# the jnp scatters (which XLA pairs with a defensive full-cache copy whenever
+# attention custom calls read the same buffer — fine on CPU/tests only).
 
 
 def append_rows_all_layers(cache, rows, write_pos):

@@ -131,10 +131,16 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
         M = 1
         for d in lead:
             M *= d
-        if In % 512 == 0 and Out % 256 == 0:
+        # the kernel keeps all M rows in VMEM (weights are the streamed
+        # operand): decode/verify shapes only — prefill chunks (M = B*C) use
+        # the jnp path, where XLA fuses the dequant cast into the matmul
+        if M <= 1024 and In % 512 == 0 and Out % 256 == 0:
+            # block_out must divide Out (e.g. the llama-3 vocab 128256 tiles
+            # by 256, not 512)
+            block_out = 512 if Out % 512 == 0 else 256
             y = quant_matmul_pallas(x.reshape(M, In), wq.q, wq.scale,
                                     bits=wq.bits, group_size=wq.group_size,
-                                    block_in=512, block_out=min(512, Out))
+                                    block_in=512, block_out=block_out)
             return y.reshape(*lead, Out)
     q = wq.q
     if wq.bits == 4:
