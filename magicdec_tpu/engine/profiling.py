@@ -63,18 +63,20 @@ def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
     dparams, dcfg = engine._draft_model(engine.params)
     tok = state.token0[:, None]
 
+    tcaches = engine._state_tcaches(state)
+
     def draft_step(tok, dparams, dk, dv, fill, pos):
         nxt, _ = M.forward_draft(dparams, dcfg, tok, fill, pos,
                                  {"dk": dk, "dv": dv}, backend=e.attn_backend)
         return nxt
 
-    def verify_step(buf, params, k, v, lens):
-        out, _ = M.forward_target(params, cfg, buf, lens, {"k": k, "v": v},
+    def verify_step(buf, params, caches, lens):
+        out, _ = M.forward_target(params, cfg, buf, lens, caches,
                                   backend=e.attn_backend)
         return out
 
-    def baseline_step(tok, params, k, v, lens):
-        out, _ = M.forward_target(params, cfg, tok, lens, {"k": k, "v": v},
+    def baseline_step(tok, params, caches, lens):
+        out, _ = M.forward_target(params, cfg, tok, lens, caches,
                                   backend=e.attn_backend)
         return out
 
@@ -84,9 +86,9 @@ def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
             tok, dparams, state.dk, state.dv, state.draft_fill,
             state.draft_pos) * 1e3,
         "verify_step_ms": _chain(verify_step, iters)(
-            buf, engine.params, state.k, state.v, state.target_lens) * 1e3,
+            buf, engine.params, tcaches, state.target_lens) * 1e3,
         "baseline_step_ms": _chain(baseline_step, iters)(
-            tok, engine.params, state.k, state.v, state.target_lens) * 1e3,
+            tok, engine.params, tcaches, state.target_lens) * 1e3,
     }
     g = e.gamma
     results["window_ms_est"] = results["draft_step_ms"] * g + results["verify_step_ms"]
