@@ -65,6 +65,11 @@ def main():
                    choices=["int8", "int4"],
                    help="quantized target KV cache (int8 halves, int4 "
                         "quarters decode HBM traffic)")
+    p.add_argument("--draft_quant", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="quantize the DRAFT pass's weight copy (draft decode "
+                        "is weight-HBM-bound; output still exactly matches "
+                        "the full-precision target)")
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -72,11 +77,13 @@ def main():
 
     cfg = ModelConfig.from_name(args.model)
     params = make_params(cfg)
-    if args.quantize:
+    if args.quantize or args.draft_quant:
         from magicdec_tpu import quantization as Q
 
         Q.set_matmul_backend(args.quant_backend)
-        params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
+        if args.quantize:
+            params = Q.quantize_params(params,
+                                       bits=8 if args.quantize == "int8" else 4)
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
@@ -92,7 +99,8 @@ def main():
         chunk_size=128, prefill_chunk_size=args.prefill_chunk,
         max_gen=args.max_gen, eot_ids=(-1,),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
-        kv_quant=args.kv_quant or False)
+        kv_quant=args.kv_quant or False,
+        draft_quant=args.draft_quant or False)
     engine = SpecEngine(params, cfg, ecfg)
 
     rng = np.random.RandomState(0)
@@ -136,6 +144,7 @@ def main():
 
     qtag = f"_{args.quantize}" if args.quantize else ""
     qtag += f"_kvq{args.kv_quant[3:]}" if args.kv_quant else ""
+    qtag += f"_dq{args.draft_quant[3:]}" if args.draft_quant else ""
     print(json.dumps({
         "metric": f"selfspec_{args.mode}_tokens_per_s_{args.model}{qtag}_B{args.B}_ctx{prefix}",
         "value": round(spec_tps, 2),

@@ -43,6 +43,13 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["int8", "int4"],
                    help="quantized target KV cache (int8 halves, int4 "
                         "quarters decode HBM traffic)")
+    p.add_argument("--draft_quant", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="quantize the DRAFT pass's weights (self-spec: a "
+                        "quantized copy of the target; longspec: the "
+                        "standalone draft).  Draft decode is weight-HBM-"
+                        "bound, and the output still exactly matches the "
+                        "full-precision target's")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="cpu: force the host backend (smoke runs). The "
                         "JAX_PLATFORMS env var is NOT honored in this "

@@ -49,7 +49,8 @@ def main():
                         eot_ids=common.eot_ids_for(args, cfg),
                         temperature=args.temperature, top_p=args.top_p,
                         attn_backend=args.attn_backend,
-                        kv_quant=args.kv_quant or False)
+                        kv_quant=args.kv_quant or False,
+                        draft_quant=args.draft_quant or False)
     engine = SpecEngine(params, cfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, cfg.vocab_size)

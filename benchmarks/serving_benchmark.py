@@ -58,6 +58,7 @@ def main():
         max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
         kv_quant=args.kv_quant or False,
+        draft_quant=args.draft_quant or False,
         temperature=args.temperature, top_p=args.top_p)
 
     if args.draft_model or args.mode == "full":

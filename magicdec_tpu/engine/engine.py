@@ -75,6 +75,20 @@ class EngineConfig:
                                        # ops.kv_cache.pack_int4_heads;
                                        # requires an even kv-head count).
                                        # Draft cache stays in cache_dtype.
+    draft_quant: Any = False           # quantize the *draft pass's* weights
+                                       # (False | "int8" | "int4").  Draft
+                                       # decode at large batch is weight-HBM
+                                       # bound (the compressed cache is tiny),
+                                       # so an int8 draft copy nearly halves
+                                       # the per-draft-step time while the
+                                       # output stays EXACTLY the target's
+                                       # (greedy parity / coupled-Gumbel
+                                       # exactness only depend on the verify
+                                       # pass, which keeps full precision —
+                                       # draft quality only moves acceptance).
+                                       # Self-spec: drafts with a quantized
+                                       # copy of the target weights; longspec:
+                                       # quantizes the standalone draft.
     temperature: float = 0.0           # > 0 enables Gumbel-coupled sampling:
                                        # every committed token is an EXACT
                                        # categorical sample from the (top-p
@@ -95,6 +109,8 @@ class SpecEngine:
     """
 
     ALLOWED_MODES = ("streamingllm", "snapkv")
+    _SELF_SPEC = True  # LongSpecEngine overrides: draft_quant targets the
+                       # standalone draft weights there, not a target copy
 
     def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
         self.params = params
@@ -114,6 +130,15 @@ class SpecEngine:
             ecfg.draft_budget + ecfg.max_gen + ecfg.gamma + 2, 128)
         self._out_cap = ecfg.max_gen + ecfg.gamma + 2
         self._eot = jnp.asarray(ecfg.eot_ids, dtype=jnp.int32)
+        self._dq_params = None
+        if ecfg.draft_quant and self._SELF_SPEC:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "draft_quant under a mesh needs quantized-weight "
+                    "shardings; run single-device or quantize offline")
+            from magicdec_tpu import quantization as Q
+            self._dq_params = Q.quantize_params(
+                params, bits=kv_quant_bits(ecfg.draft_quant))
         self.mesh = mesh
         self._spec_shardings = None
         self._baseline_shardings = None
@@ -314,7 +339,10 @@ class SpecEngine:
                 caches, lens, x_last = target_prefill(params, tokens, tcaches)
                 token0 = self._head_token(params, x_last, rng, salt)
 
-                # second pass: draft prefill with sink+window eviction
+                # second pass: draft prefill with sink+window eviction, run
+                # with the *draft* weights (== target, or the quantized copy
+                # under draft_quant, so decode queries match prefilled keys)
+                dparams, dcfg = self._draft_model(params)
                 n_full = prefix // C
                 rem = prefix - n_full * C
                 fill = jnp.zeros((), jnp.int32)
@@ -324,17 +352,17 @@ class SpecEngine:
                     def body(carry, chunk):
                         dcaches, fill = carry
                         _, dcaches = M.forward_streaming_draft_chunk(
-                            params, cfg, chunk, fill, dcaches,
+                            dparams, dcfg, chunk, fill, dcaches,
                             budget=e.draft_budget, sink=e.sink_size)
                         return (dcaches, jnp.minimum(fill + C, e.draft_budget)), None
 
                     (dcaches, fill), _ = jax.lax.scan(body, (dcaches, fill), xs)
                 if rem:
                     _, dcaches = M.forward_streaming_draft_chunk(
-                        params, cfg, tokens[:, n_full * C:], fill, dcaches,
+                        dparams, dcfg, tokens[:, n_full * C:], fill, dcaches,
                         budget=e.draft_budget, sink=e.sink_size)
                     fill = jnp.minimum(fill + rem, e.draft_budget)
-                dcaches = M.streaming_finalize_draft(cfg, dcaches, budget=e.draft_budget)
+                dcaches = M.streaming_finalize_draft(dcfg, dcaches, budget=e.draft_budget)
                 draft_fill = jnp.broadcast_to(jnp.minimum(fill, e.draft_budget), (B,))
                 caches = {**caches, **dcaches}
                 return self._fresh_state(caches, lens, token0,
@@ -471,12 +499,13 @@ class SpecEngine:
         Drafts at *real* rope positions; verify dual-appends the target's KV
         into the draft cache, overwriting the speculated slots."""
         e, cfg = self.ecfg, self.cfg
+        dparams, dcfg = self._draft_model(params)
         f0 = st.draft_fill
         n0 = st.num_committed  # token0 = the candidate for output slot n0
 
         def draft_body(carry, _):
             dk, dv, fill, pos, tok, sidx = carry
-            nxt, dc = M.forward_draft(params, cfg, tok[:, None], fill, pos,
+            nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill, pos,
                                       {"dk": dk, "dv": dv},
                                       backend=e.attn_backend,
                                       sample=self._sample_spec(st, sidx[:, None]))
@@ -503,7 +532,10 @@ class SpecEngine:
 
     def _draft_model(self, params):
         """(params, cfg) used for draft steps — self-spec shares the target's
-        weights; LongSpecEngine overrides with the standalone draft."""
+        weights (or a quantized copy, EngineConfig.draft_quant);
+        LongSpecEngine overrides with the standalone draft."""
+        if self._dq_params is not None:
+            return self._dq_params, self.cfg
         return params, self.cfg
 
     def _window_streaming(self, params, st: SpecState, masks=None):
@@ -669,9 +701,18 @@ class LongSpecEngine(SpecEngine):
     """
 
     ALLOWED_MODES = ("streamingllm", "snapkv", "full")
+    _SELF_SPEC = False
 
     def __init__(self, params, cfg: ModelConfig, draft_params,
                  draft_cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
+        if ecfg.draft_quant:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "draft_quant under a mesh needs quantized-weight "
+                    "shardings; run single-device or quantize offline")
+            from magicdec_tpu import quantization as Q
+            draft_params = Q.quantize_params(
+                draft_params, bits=kv_quant_bits(ecfg.draft_quant))
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         super().__init__(params, cfg, ecfg, mesh=mesh)

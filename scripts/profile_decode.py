@@ -42,7 +42,11 @@ def _chain(fn, n, repeats=3):
     run1, run2 = make(n), make(2 * n)
 
     def readback(r):
-        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0].astype(np.float32))
+        # r[1] is each phase state's COMPUTED token/hidden output.  Reading a
+        # pass-through element (e.g. params, which jit returns by aliasing its
+        # input buffer) would complete without waiting for the computation and
+        # time only the dispatch.
+        float(np.asarray(r[1]).ravel()[0].astype(np.float32))
 
     def timed(state):
         readback(run1(state))

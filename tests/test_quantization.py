@@ -150,3 +150,58 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
                               return_logits=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode,prefix", [("streamingllm", 48), ("snapkv", 40)])
+def test_draft_quant_selfspec_matches_full_precision_greedy(mode, prefix):
+    """EngineConfig.draft_quant quantizes only the DRAFT pass's weight copy;
+    the committed output must still equal the full-precision target's greedy
+    output (verification is lossless regardless of draft quality)."""
+    base = dict(gamma=2, draft_budget=33, max_seq_len=256, chunk_size=16,
+                window_size=8, sink_size=4, max_gen=14, eot_ids=(-1,),
+                cache_dtype=jnp.float32)
+    fp = SpecEngine(PARAMS, CFG, EngineConfig(mode=mode, **base))
+    prompt = _prompt(2, prefix, seed=11)
+    bst = fp.encode_baseline(prompt)
+    _, bstats = fp.generate_baseline(bst, max_new=14)
+    ref = np.asarray(bstats["output"])
+
+    dq = SpecEngine(PARAMS, CFG,
+                    EngineConfig(mode=mode, draft_quant="int8", **base))
+    assert Q.is_quantized(dq._dq_params["layers"]["wq"])
+    assert not Q.is_quantized(dq.params["layers"]["wq"])  # verify stays dense
+    st = dq.encode(prompt)
+    _, stats = dq.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= 14
+    for b in range(2):
+        m = min(int(n[b]), 14)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
+
+
+def test_draft_quant_longspec_matches_full_precision_greedy():
+    from magicdec_tpu.engine.engine import LongSpecEngine
+    from tests.test_longspec import DRAFT_CFG, DRAFT_PARAMS
+
+    base = dict(mode="streamingllm", gamma=2, draft_budget=33, max_seq_len=256,
+                chunk_size=16, window_size=8, sink_size=4, max_gen=14,
+                eot_ids=(-1,), cache_dtype=jnp.float32)
+    fp = SpecEngine(PARAMS, CFG, EngineConfig(**base))
+    prompt = _prompt(2, 48, seed=12)
+    bst = fp.encode_baseline(prompt)
+    _, bstats = fp.generate_baseline(bst, max_new=14)
+    ref = np.asarray(bstats["output"])
+
+    eng = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG,
+                         EngineConfig(draft_quant="int4", **base))
+    assert Q.is_quantized(eng.draft_params["layers"]["wq"])
+    assert not Q.is_quantized(eng.params["layers"]["wq"])
+    st = eng.encode(prompt)
+    _, stats = eng.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= 14
+    for b in range(2):
+        m = min(int(n[b]), 14)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
