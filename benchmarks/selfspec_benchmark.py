@@ -95,6 +95,23 @@ def main():
                                            phases["draft_step_ms"] / 1e3,
                                            phases["window_ms_est"] / 1e3))
 
+        # gamma autotune (the reference's "Optimal γ" table columns, picked
+        # offline there; derived here from the measured acceptance + phase
+        # times — engine/autotune.py)
+        if total_steps > 0:
+            from magicdec_tpu.engine import autotune as AT
+
+            tpw = total_tokens / total_steps / args.B
+            alpha = AT.alpha_from_window_stats(tpw, args.gamma)
+            g_star = AT.pick_gamma(alpha, phases["draft_step_ms"],
+                                   phases["verify_step_ms"])
+            pred = (AT.expected_tokens_per_window(alpha, g_star) * args.B
+                    / (g_star * phases["draft_step_ms"]
+                       + phases["verify_step_ms"]) * 1e3)
+            print(f"acceptance alpha: {alpha:.3f}; autotuned gamma: {g_star} "
+                  f"(predicted {pred:.1f} tok/s vs measured "
+                  f"{total_tokens / total_time:.1f} at gamma={args.gamma})")
+
 
 if __name__ == "__main__":
     main()

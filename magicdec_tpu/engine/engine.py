@@ -276,7 +276,16 @@ class SpecEngine:
         B, prefix = input_ids.shape
         rng, salt = self._sampling_args(B, rng, salt)
         fn = self._encode_fn(B, prefix)
-        return fn(self.params, jnp.asarray(input_ids, jnp.int32), rng, salt)
+        return fn(self.params, self._draft_arg(),
+                  jnp.asarray(input_ids, jnp.int32), rng, salt)
+
+    def _draft_arg(self):
+        """The draft pass's weights, passed as an explicit jit ARGUMENT
+        everywhere (None = draft shares the target's traced params).  Closing
+        over a separate weight pytree instead would bake it into the program
+        as multi-GB constants — re-uploaded per compile and over the remote
+        compiler's request-size limit (HTTP 413)."""
+        return self._dq_params
 
     @functools.lru_cache(maxsize=8)
     def _encode_fn(self, B: int, prefix: int):
@@ -318,7 +327,7 @@ class SpecEngine:
             assert prefix % C == e.window_size % C and prefix >= e.window_size, \
                 f"snapkv prefill requires prefix ≡ window (mod {C})"
 
-            def encode(params, tokens, rng, salt):
+            def encode(params, dparams, tokens, rng, salt):
                 tcaches, dcaches = self._zero_caches(B)
                 caches, lens, _ = target_prefill(params, tokens[:, :-e.window_size],
                                                  tcaches)
@@ -334,7 +343,7 @@ class SpecEngine:
                                          draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
                                          draft_pos=lens, rng=rng, salt=salt)
         else:
-            def encode(params, tokens, rng, salt):
+            def encode(params, dparams, tokens, rng, salt):
                 tcaches, dcaches = self._zero_caches(B)
                 caches, lens, x_last = target_prefill(params, tokens, tcaches)
                 token0 = self._head_token(params, x_last, rng, salt)
@@ -342,7 +351,8 @@ class SpecEngine:
                 # second pass: draft prefill with sink+window eviction, run
                 # with the *draft* weights (== target, or the quantized copy
                 # under draft_quant, so decode queries match prefilled keys)
-                dparams, dcfg = self._draft_model(params)
+                dparams = params if dparams is None else dparams
+                dcfg = self._draft_cfg()
                 n_full = prefix // C
                 rem = prefix - n_full * C
                 fill = jnp.zeros((), jnp.int32)
@@ -398,7 +408,7 @@ class SpecEngine:
 
     def generate(self, state: SpecState) -> Tuple[SpecState, Dict[str, Any]]:
         fn = self._generate_fn(state.token0.shape[0])
-        state = fn(self.params, state)
+        state = fn(self.params, self._draft_arg(), state)
         stats = {
             "output": state.output,
             "num_committed": state.num_committed,
@@ -418,15 +428,16 @@ class SpecEngine:
         e = self.ecfg
         window = self._window()
 
-        def gen(params, st: SpecState) -> SpecState:
+        def gen(params, dparams, st: SpecState) -> SpecState:
             max_steps = e.max_gen + 1  # every window commits >= 1 token
 
             def cond(st):
                 return (~st.done) & (st.target_steps < max_steps)
 
-            return jax.lax.while_loop(cond, functools.partial(window, params), st)
+            return jax.lax.while_loop(
+                cond, functools.partial(window, params, dparams), st)
 
-        return jax.jit(gen, donate_argnums=(1,))
+        return jax.jit(gen, donate_argnums=(2,))
 
     def _finish_window(self, st: SpecState, tokens_buffer, target_tokens,
                        caches, *, draft_fill, draft_pos, masks=None):
@@ -493,13 +504,14 @@ class SpecEngine:
         )
         return st if masks is None else (st, done_vec)
 
-    def _window_snapkv(self, params, st: SpecState, masks=None):
+    def _window_snapkv(self, params, dparams, st: SpecState, masks=None):
         """SnapKV self-spec window (reference tests/SnapKV/selfspec:120-211).
 
         Drafts at *real* rope positions; verify dual-appends the target's KV
         into the draft cache, overwriting the speculated slots."""
         e, cfg = self.ecfg, self.cfg
-        dparams, dcfg = self._draft_model(params)
+        dparams = params if dparams is None else dparams
+        dcfg = self._draft_cfg()
         f0 = st.draft_fill
         n0 = st.num_committed  # token0 = the candidate for output slot n0
 
@@ -538,7 +550,7 @@ class SpecEngine:
             return self._dq_params, self.cfg
         return params, self.cfg
 
-    def _window_streaming(self, params, st: SpecState, masks=None):
+    def _window_streaming(self, params, dparams, st: SpecState, masks=None):
         """Double-buffer speculation window.
 
         Used by StreamingLLM self-spec (tests/StreamingLLM/selfspec:121-224)
@@ -550,7 +562,8 @@ class SpecEngine:
         draft_fill stays constant across windows (0 for slot-position caches,
         prefix - budget for SnapKV-compressed real-position caches)."""
         e, cfg = self.ecfg, self.cfg
-        dparams, dcfg = self._draft_model(params)
+        dparams = params if dparams is None else dparams
+        dcfg = self._draft_cfg()
         f0 = st.draft_fill
         delta = st.draft_pos - st.draft_fill
         dcaches = {"dk": st.dk, "dv": st.dv}
@@ -737,6 +750,9 @@ class LongSpecEngine(SpecEngine):
     def _draft_model(self, params):
         return self.draft_params, self.draft_cfg
 
+    def _draft_arg(self):
+        return self.draft_params
+
     def _window(self):
         # every longspec mode uses the double-buffer window; ecfg.mode selects
         # the draft cache built at encode time, not the decode step
@@ -774,8 +790,7 @@ class LongSpecEngine(SpecEngine):
                 x_last = x[:, -1]
             return caches, lens, x_last
 
-        def encode(params_pair, tokens, rng, salt):
-            params, draft_params = params_pair
+        def encode(params, draft_params, tokens, rng, salt):
             e_ = e
             dt = e.cache_dtype
             caches, lens, x_last = chunked_prefill(params, cfg, tokens,
@@ -841,9 +856,4 @@ class LongSpecEngine(SpecEngine):
                                      draft_fill=draft_fill, draft_pos=draft_pos,
                                      rng=rng, salt=salt)
 
-        fn = jax.jit(encode, out_shardings=self._spec_shardings)
-
-        def call(params, tokens, rng, salt):
-            return fn((params, self.draft_params), tokens, rng, salt)
-
-        return call
+        return jax.jit(encode, out_shardings=self._spec_shardings)

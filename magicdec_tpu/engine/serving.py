@@ -60,17 +60,18 @@ class ServingEngine(SpecEngine):
     def _windows_fn(self, B: int, n_windows: int):
         window = self._window()
 
-        def run(params, sst: ServingState) -> ServingState:
+        def run(params, dparams, sst: ServingState) -> ServingState:
             def body(carry, _):
                 spec, done = carry
-                spec, done = window(params, spec, masks=(sst.active, done))
+                spec, done = window(params, dparams, spec,
+                                    masks=(sst.active, done))
                 return (spec, done), None
 
             (spec, done), _ = jax.lax.scan(body, (sst.spec, sst.done), None,
                                            length=n_windows)
             return ServingState(spec=spec, active=sst.active, done=done)
 
-        return jax.jit(run, donate_argnums=(1,))
+        return jax.jit(run, donate_argnums=(2,))
 
     # ------------------------------------------------------------------
     # admission / drain
@@ -184,7 +185,7 @@ class ServingEngine(SpecEngine):
         sst = refill(sst)
         windows = self._windows_fn(B, windows_per_sync)
         while slot_req or queue:
-            sst = windows(self.params, sst)
+            sst = windows(self.params, self._draft_arg(), sst)
             sst = refill(sst)
         return [results[i] for i in range(len(prompts))]
 
