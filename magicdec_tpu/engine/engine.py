@@ -89,6 +89,10 @@ class EngineConfig:
                                        # Self-spec: drafts with a quantized
                                        # copy of the target weights; longspec:
                                        # quantizes the standalone draft.
+    fuse_exec: bool = True             # meshless engines: concat wq|wk|wv and
+                                       # w1|w3 into single dots at init
+                                       # (models.llama.fuse_exec_params;
+                                       # bit-identical, fewer small kernels)
     temperature: float = 0.0           # > 0 enables Gumbel-coupled sampling:
                                        # every committed token is an EXACT
                                        # categorical sample from the (top-p
@@ -113,6 +117,10 @@ class SpecEngine:
                        # standalone draft weights there, not a target copy
 
     def __init__(self, params, cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
+        if mesh is None and ecfg.fuse_exec:
+            # one QKV dot + one gate/up dot per layer (separate tensors exist
+            # for GSPMD head sharding, which meshless engines don't need)
+            params = M.fuse_exec_params(params, cfg)
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -718,6 +726,8 @@ class LongSpecEngine(SpecEngine):
 
     def __init__(self, params, cfg: ModelConfig, draft_params,
                  draft_cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
+        if mesh is None and ecfg.fuse_exec:
+            draft_params = M.fuse_exec_params(draft_params, draft_cfg)
         if ecfg.draft_quant:
             if mesh is not None:
                 raise NotImplementedError(

@@ -39,7 +39,7 @@ from magicdec_tpu.config import ModelConfig
 from magicdec_tpu.ops import attention as attn_ops
 from magicdec_tpu.ops import kv_cache as kv_ops
 from magicdec_tpu.ops.rope import apply_rope, rope_inv_freq
-from magicdec_tpu.quantization import is_quantized, quant_matmul
+from magicdec_tpu.quantization import QuantizedWeight, is_quantized, quant_matmul
 
 Params = Dict[str, Any]
 
@@ -59,30 +59,81 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _mlp(x: jnp.ndarray, wl: Params) -> jnp.ndarray:
-    gate = jax.nn.silu(matmul(x, wl["w1"]))
-    up = matmul(x, wl["w3"])
-    return matmul(gate * up, wl["w2"])
+    if wl.get("w13") is not None:  # fused gate|up dot (fuse_exec_params)
+        gu = matmul(x, wl["w13"])
+        F = gu.shape[-1] // 2
+        gate, up = gu[..., :F], gu[..., F:]
+    else:
+        gate, up = matmul(x, wl["w1"]), matmul(x, wl["w3"])
+    return matmul(jax.nn.silu(gate) * up, wl["w2"])
 
 
 def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
     """x [B, T, D] -> q [B,T,Hq,hd], k,v [B,T,Hkv,hd] (pre-rope).
 
-    q/k/v projections are separate tensors (not the reference's fused wqkv,
-    Engine/SnapKV/model.py:326) so each output column axis is a clean head
-    axis for GSPMD model-parallel sharding.
+    q/k/v projections are stored as separate tensors (not the reference's
+    fused wqkv, Engine/SnapKV/model.py:326) so each output column axis is a
+    clean head axis for GSPMD model-parallel sharding; single-device engines
+    fuse them into one dot at init (``fuse_exec_params``) — decode-shape dots
+    are tiny (B rows), so 3 kernels -> 1 saves fixed per-kernel cost with
+    bit-identical outputs (each output column's contraction is independent).
     """
     B, T, _ = x.shape
     hd = cfg.head_dim
-    q = matmul(x, wl["wq"])
-    k = matmul(x, wl["wk"])
-    v = matmul(x, wl["wv"])
-    if wl.get("bq") is not None:
-        q = q + wl["bq"]
-        k = k + wl["bk"]
-        v = v + wl["bv"]
+    nq = cfg.n_head * hd
+    nkv = cfg.n_kv_head * hd
+    if wl.get("wqkv") is not None:
+        qkv = matmul(x, wl["wqkv"])
+        if wl.get("bqkv") is not None:
+            qkv = qkv + wl["bqkv"]
+        q = qkv[..., :nq]
+        k = qkv[..., nq:nq + nkv]
+        v = qkv[..., nq + nkv:]
+    else:
+        q = matmul(x, wl["wq"])
+        k = matmul(x, wl["wk"])
+        v = matmul(x, wl["wv"])
+        if wl.get("bq") is not None:
+            q = q + wl["bq"]
+            k = k + wl["bk"]
+            v = v + wl["bv"]
     return (q.reshape(B, T, cfg.n_head, hd),
             k.reshape(B, T, cfg.n_kv_head, hd),
             v.reshape(B, T, cfg.n_kv_head, hd))
+
+
+def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
+    """Single-device execution layout: wq|wk|wv -> wqkv and w1|w3 -> w13,
+    concatenated along the output axis so each layer runs one QKV dot and one
+    gate/up dot instead of five (the reference stores wqkv fused too,
+    Engine/SnapKV/model.py:326; we store them separate for GSPMD head
+    sharding and fuse only on meshless engines).  Bit-identical: a dot's
+    output columns contract independently, so concatenation changes nothing
+    numerically.  Dense and QuantizedWeight leaves both fuse (quantized data
+    and per-output scales concat along the output axis; group structure along
+    the shared contraction axis is unchanged)."""
+    L = dict(params["layers"])
+    if L.get("wqkv") is not None or L.get("w13") is not None:
+        return params
+
+    def cat(*ws):
+        if any(is_quantized(w) for w in ws):
+            w0 = ws[0]
+            assert all(is_quantized(w) and w.bits == w0.bits
+                       and w.group_size == w0.group_size for w in ws), \
+                "fusing quantized weights requires identical quant configs"
+            return QuantizedWeight(
+                q=jnp.concatenate([w.q for w in ws], axis=-1),
+                scale=jnp.concatenate([w.scale for w in ws], axis=-1),
+                bits=w0.bits, group_size=w0.group_size)
+        return jnp.concatenate(ws, axis=-1)
+
+    L["wqkv"] = cat(L.pop("wq"), L.pop("wk"), L.pop("wv"))
+    bq, bk, bv = L.pop("bq", None), L.pop("bk", None), L.pop("bv", None)
+    L["bqkv"] = (jnp.concatenate([bq, bk, bv], axis=-1)
+                 if bq is not None else None)
+    L["w13"] = cat(L.pop("w1"), L.pop("w3"))
+    return dict(params, layers=L)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
+              "wqkv", "w13")  # fused execution layout (models.llama.fuse_exec_params)
 
 # "jnp": cast-matmul fused by XLA; "pallas": fused dequant+matmul kernel
 # (ops/pallas/quant_matmul.py).  Module-level because the dispatch happens

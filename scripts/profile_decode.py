@@ -91,6 +91,9 @@ def main():
         from magicdec_tpu import quantization as Q
         Q.set_matmul_backend(args.quant_backend)
         params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
+    # engines run the fused execution layout (one QKV dot, one gate/up dot);
+    # profile the same program shape
+    params = M.fuse_exec_params(params, cfg)
 
     B, ctx, g = args.B, args.ctx, args.gamma
     S = ((ctx + 80 + g + 2 + args.seq_round - 1) // args.seq_round) * args.seq_round

@@ -168,8 +168,8 @@ def test_draft_quant_selfspec_matches_full_precision_greedy(mode, prefix):
 
     dq = SpecEngine(PARAMS, CFG,
                     EngineConfig(mode=mode, draft_quant="int8", **base))
-    assert Q.is_quantized(dq._dq_params["layers"]["wq"])
-    assert not Q.is_quantized(dq.params["layers"]["wq"])  # verify stays dense
+    assert Q.is_quantized(dq._dq_params["layers"]["wqkv"])
+    assert not Q.is_quantized(dq.params["layers"]["wqkv"])  # verify stays dense
     st = dq.encode(prompt)
     _, stats = dq.generate(st)
     out = np.asarray(stats["output"])
@@ -195,8 +195,8 @@ def test_draft_quant_longspec_matches_full_precision_greedy():
 
     eng = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG,
                          EngineConfig(draft_quant="int4", **base))
-    assert Q.is_quantized(eng.draft_params["layers"]["wq"])
-    assert not Q.is_quantized(eng.params["layers"]["wq"])
+    assert Q.is_quantized(eng.draft_params["layers"]["wqkv"])
+    assert not Q.is_quantized(eng.params["layers"]["wqkv"])
     st = eng.encode(prompt)
     _, stats = eng.generate(st)
     out = np.asarray(stats["output"])
