@@ -52,7 +52,10 @@ def main():
     p.add_argument("--model", default="llama-3.2-1b")
     p.add_argument("--B", type=int, default=32)
     p.add_argument("--prefix_len", type=int, default=8192)
-    p.add_argument("--gamma", type=int, default=4)
+    p.add_argument("--gamma", type=int, default=4,
+                   help="speculation window; 0 = autotune (warmup run "
+                        "estimates acceptance, phase timers + the analytic "
+                        "throughput model pick gamma — engine/autotune.py)")
     p.add_argument("--draft_budget", type=int, default=513)
     p.add_argument("--mode", default="streamingllm", choices=["streamingllm", "snapkv"])
     p.add_argument("--max_gen", type=int, default=80)
@@ -92,16 +95,22 @@ def main():
     # are clamp-skipped, so the extra capacity costs memory only.  bf16 caches
     # at 8k/B=32 sit near the HBM limit, so they round to 1024 instead.
     seq_round = 2048 if args.kv_quant else 512
-    ecfg = EngineConfig(
-        mode=args.mode, gamma=args.gamma, draft_budget=args.draft_budget,
-        max_seq_len=((prefix + args.max_gen + args.gamma + 2 + seq_round - 1)
-                     // seq_round) * seq_round,
-        chunk_size=128, prefill_chunk_size=args.prefill_chunk,
-        max_gen=args.max_gen, eot_ids=(-1,),
-        cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
-        kv_quant=args.kv_quant or False,
-        draft_quant=args.draft_quant or False)
-    engine = SpecEngine(params, cfg, ecfg)
+    gamma_max = 8 if args.gamma == 0 else args.gamma
+
+    def build_engine(gamma):
+        ecfg = EngineConfig(
+            mode=args.mode, gamma=gamma, draft_budget=args.draft_budget,
+            max_seq_len=((prefix + args.max_gen + gamma_max + 2 + seq_round - 1)
+                         // seq_round) * seq_round,
+            chunk_size=128, prefill_chunk_size=args.prefill_chunk,
+            max_gen=args.max_gen, eot_ids=(-1,),
+            cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
+            kv_quant=args.kv_quant or False,
+            draft_quant=args.draft_quant or False)
+        return SpecEngine(params, cfg, ecfg)
+
+    gamma = args.gamma or 4  # autotune warmup gamma
+    engine = build_engine(gamma)
 
     rng = np.random.RandomState(0)
     prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (args.B, prefix)), jnp.int32)
@@ -129,14 +138,37 @@ def main():
         return gen / dt, gen, dt
 
     # warmup (compile), then measure best of iters
-    run_spec(); run_baseline()
+    warm = run_spec()
+    run_baseline()
+    if args.gamma == 0:
+        # analytic gamma pick from the warmup run's acceptance + isolated
+        # phase timers (engine/autotune.py; the reference hand-picks its
+        # "Optimal gamma" per config offline, BASELINE.md)
+        from magicdec_tpu.engine import autotune as AT
+        from magicdec_tpu.engine.profiling import time_phases
+
+        tpw = warm[1] / max(warm[2], 1) / args.B
+        st = engine.encode(prompt)
+        int(np.asarray(st.token0)[0])
+        ph = time_phases(engine, st, iters=8)
+        alpha = AT.alpha_from_window_stats(tpw, gamma)
+        g_star = AT.pick_gamma(alpha, ph["draft_step_ms"],
+                               ph["verify_step_ms"],
+                               candidates=tuple(range(2, gamma_max + 1)))
+        print(f"[bench] autotune: alpha={alpha:.3f} "
+              f"td={ph['draft_step_ms']:.2f}ms tv={ph['verify_step_ms']:.2f}ms "
+              f"-> gamma={g_star}", file=sys.stderr)
+        if g_star != gamma:
+            gamma = g_star
+            engine = build_engine(gamma)
+            run_spec()  # compile at the chosen gamma
     spec = max(run_spec() for _ in range(args.iters))
     base = max(run_baseline() for _ in range(args.iters))
 
     spec_tps, gen, steps, dt = spec
     base_tps = base[0]
     accept = gen / max(steps, 1) / args.B  # committed tokens per target step
-    print(f"[bench] mode={args.mode} B={args.B} prefix={prefix} gamma={args.gamma} "
+    print(f"[bench] mode={args.mode} B={args.B} prefix={prefix} gamma={gamma} "
           f"budget={args.draft_budget}", file=sys.stderr)
     print(f"[bench] spec: {spec_tps:.1f} tok/s ({gen} tok in {dt:.3f}s, "
           f"{steps} target steps, {accept:.2f} tokens/step/seq)", file=sys.stderr)

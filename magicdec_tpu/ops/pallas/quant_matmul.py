@@ -67,11 +67,11 @@ def _int4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_scr, *,
 
     xe = xe_ref[0]                    # [M, block_in//2]
     xo = xo_ref[0]
-    p = q_ref[:]                      # [block_in//2, block_out] packed int8
-    lo = (p & 0xF).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(xe.dtype)
-    hi = ((p >> 4) & 0xF).astype(jnp.int8)
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(xe.dtype)
+    # nibble sign-extension via i32 shifts: Mosaic on v5e legalizes neither
+    # shifts nor cmpi/select on i8 vectors (CLAUDE.md legalization map)
+    r = q_ref[:].astype(jnp.int32)    # [block_in//2, block_out] packed
+    lo = jnp.right_shift(jnp.left_shift(r, 28), 28).astype(xe.dtype)
+    hi = jnp.right_shift(r, 4).astype(xe.dtype)
     half = group_size // 2
     for g in range(n_groups_per_block):
         sl = slice(g * half, (g + 1) * half)
@@ -103,10 +103,15 @@ def quant_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     G = scale.shape[0]
     gsz = group_size if G > 1 else In
     block_in = min(block_in, In)
-    if gsz < block_in:
-        block_in = (block_in // gsz) * gsz
+    if G == 1:
+        block_in = In  # per-column scales: one in-block, scale row block (1, .)
     else:
-        block_in = min(gsz, In)
+        # the scale operand blocks as (block_in // gsz, block_out); Mosaic
+        # requires its sublane block dim divisible by 8 OR equal to G, so a
+        # block must cover a multiple of 8 groups — or all of them
+        tile = 8 * gsz
+        block_in = (max(tile, block_in // tile * tile)
+                    if In % tile == 0 else In)
     block_out = min(block_out, Out)
     assert In % block_in == 0 and Out % block_out == 0, (In, Out, block_in, block_out)
     assert block_in % gsz == 0 or G == 1

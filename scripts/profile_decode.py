@@ -73,6 +73,9 @@ def main():
     p.add_argument("--draft_budget", type=int, default=513)
     p.add_argument("--kv_quant", default=None, choices=["int8", "int4"])
     p.add_argument("--quantize", default=None, choices=["int8", "int4"])
+    p.add_argument("--draft_quant", default=None, choices=["int8", "int4"],
+                   help="quantized draft-pass weight copy (EngineConfig."
+                        "draft_quant): draft_step/head run on it")
     p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--seq_round", type=int, default=2048)
@@ -94,6 +97,12 @@ def main():
     # engines run the fused execution layout (one QKV dot, one gate/up dot);
     # profile the same program shape
     params = M.fuse_exec_params(params, cfg)
+    dparams = params
+    if args.draft_quant:
+        from magicdec_tpu import quantization as Q
+        Q.set_matmul_backend(args.quant_backend)
+        dparams = Q.quantize_params(params,
+                                    bits=8 if args.draft_quant == "int8" else 4)
 
     B, ctx, g = args.B, args.ctx, args.gamma
     S = ((ctx + 80 + g + 2 + args.seq_round - 1) // args.seq_round) * args.seq_round
@@ -138,10 +147,10 @@ def main():
         return params, nxt, lens, caches  # lens stays 0
 
     def draft_step(st):
-        params, tok, fill, caches = st
-        nxt, caches = M.forward_draft(params, cfg, tok, fill, fill, caches,
+        dparams, tok, fill, caches = st
+        nxt, caches = M.forward_draft(dparams, cfg, tok, fill, fill, caches,
                                       backend="flash")
-        return params, nxt, fill + 1, caches
+        return dparams, nxt, fill + 1, caches
 
     def verify_step(st):
         params, buf, lens, caches = st
@@ -159,7 +168,7 @@ def main():
     x = jnp.asarray(rng.randn(B, 1, cfg.dim) * 0.1, jnp.bfloat16)
     phases = {
         "baseline_step_ms": (baseline_step, n, (params, tok, lens, caches)),
-        "draft_step_ms": (draft_step, n, (params, tok, dfill, dcaches)),
+        "draft_step_ms": (draft_step, n, (dparams, tok, dfill, dcaches)),
         "verify_step_ms": (verify_step, max(2, n // 2),
                            (params, buf, lens, caches)),
         "noctx_step_ms": (noctx_step, n,
