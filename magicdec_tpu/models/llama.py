@@ -317,20 +317,32 @@ def _kv_rows(k, v, caches, prefix=""):
 def _append_rows(caches, rows, write_pos, prefix="", backend="jnp"):
     """Batched post-scan append of scan-stacked rows [L, B, T, ...].
 
-    On the flash path the append is an aliased in-place pallas RMW
-    (kv_ops.append_rows_inplace) — the jnp scatter forces XLA to insert a
-    defensive full-cache copy (time AND peak-memory) because the attention
-    custom calls read the same buffer within the step."""
-    inplace = backend == "flash"
-    app = (kv_ops.append_rows_inplace if inplace
-           else kv_ops.append_rows_all_layers)
-    app_s = (kv_ops.append_scale_rows_inplace if inplace
-             else kv_ops.append_scale_rows_all_layers)
-    out = {prefix + "k": app(caches[prefix + "k"], rows["k"], write_pos),
-           prefix + "v": app(caches[prefix + "v"], rows["v"], write_pos)}
+    On the flash path the append is ONE aliased in-place pallas RMW over all
+    cache arrays (kv_ops.append_all_rows_inplace) — a jnp scatter forces XLA
+    to insert a defensive full-cache copy (time AND peak-memory) because the
+    attention custom calls read the same buffer within the step, and separate
+    per-array calls repeat the (L, B, blocks) grid of tiny DMAs 2-4x."""
+    if backend == "flash":
+        quant = "ks" in rows
+        out_arrays = kv_ops.append_all_rows_inplace(
+            caches[prefix + "k"], caches[prefix + "v"],
+            rows["k"], rows["v"], write_pos,
+            *((caches[prefix + "ks"], caches[prefix + "vs"],
+               rows["ks"], rows["vs"]) if quant else (None,) * 4))
+        out = {prefix + "k": out_arrays[0], prefix + "v": out_arrays[1]}
+        if quant:
+            out[prefix + "ks"] = out_arrays[2]
+            out[prefix + "vs"] = out_arrays[3]
+        return {**caches, **out}
+    out = {prefix + "k": kv_ops.append_rows_all_layers(
+               caches[prefix + "k"], rows["k"], write_pos),
+           prefix + "v": kv_ops.append_rows_all_layers(
+               caches[prefix + "v"], rows["v"], write_pos)}
     if "ks" in rows:
-        out[prefix + "ks"] = app_s(caches[prefix + "ks"], rows["ks"], write_pos)
-        out[prefix + "vs"] = app_s(caches[prefix + "vs"], rows["vs"], write_pos)
+        out[prefix + "ks"] = kv_ops.append_scale_rows_all_layers(
+            caches[prefix + "ks"], rows["ks"], write_pos)
+        out[prefix + "vs"] = kv_ops.append_scale_rows_all_layers(
+            caches[prefix + "vs"], rows["vs"], write_pos)
     return {**caches, **out}
 
 

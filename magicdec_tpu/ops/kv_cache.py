@@ -336,6 +336,138 @@ def append_rows_inplace(cache, rows, write_pos, *, interpret=False):
     )(write_pos.astype(jnp.int32), rows, cache)
 
 
+def _merge_rows_block(pos, t, new_f32, cache_blk, out_dtype, *, T, Tp, S):
+    """Shared 8-row RMW merge (see _inplace_rows_kernel)."""
+    jb = jnp.minimum(pos // 8 + t, S // 8 - 1)
+    grow = jb * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    in_range = (grow >= pos) & (grow < pos + T)
+    idx = jnp.clip(grow - pos, 0, Tp - 1)
+    sel = (idx == jax.lax.broadcasted_iota(jnp.int32, (8, Tp), 1)).astype(jnp.float32)
+    merged = jax.lax.dot_general(sel, new_f32, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return jnp.where(in_range, merged.astype(out_dtype), cache_blk)
+
+
+def _merge_scale_block(pos, t, new_f32, scale_blk, out_dtype, *, T, Tp, S):
+    """Shared 128-column RMW merge (see _inplace_scale_kernel)."""
+    cb = jnp.minimum(pos // 128 + t, S // 128 - 1)
+    H = new_f32.shape[0]
+    gcol = cb * 128 + jax.lax.broadcasted_iota(jnp.int32, (Tp, 128), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (Tp, 128), 0)
+    sel = (gcol - pos == idx).astype(jnp.float32)
+    merged = jax.lax.dot_general(new_f32, sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    col1 = cb * 128 + jax.lax.broadcasted_iota(jnp.int32, (H, 128), 1)
+    in_range = (col1 >= pos) & (col1 < pos + T)
+    return jnp.where(in_range, merged.astype(out_dtype), scale_blk)
+
+
+def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
+                            scale_k=None, scale_v=None,
+                            srows_k=None, srows_v=None, *, interpret=False):
+    """ONE aliased pallas call appending k + v (+ their scale rows when the
+    cache is quantized) — vs one call per array, whose (L, B, blocks) grids of
+    tiny 4-8 KB copy-through DMAs are pure per-call overhead repeated 2-4x.
+
+    cache_k/cache_v [L, B, S, Kc]; rows_k/rows_v [L, B, T, Kc]; write_pos [B];
+    scale_k/scale_v [L, B, H, S] + srows_k/srows_v [L, B, H, T] (quantized).
+    Returns (cache_k, cache_v[, scale_k, scale_v]).
+    """
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, B, S, Kc = cache_k.shape
+    T = rows_k.shape[2]
+    Tp = (T + 7) // 8 * 8
+    if T < Tp:
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        rows_k = jnp.pad(rows_k, pad)
+        rows_v = jnp.pad(rows_v, pad)
+    quant = scale_k is not None
+    if quant:
+        Ssc = scale_k.shape[3]
+        if T < Tp:
+            spad = ((0, 0), (0, 0), (0, 0), (0, Tp - T))
+            srows_k = jnp.pad(srows_k, spad)
+            srows_v = jnp.pad(srows_v, spad)
+        H = scale_k.shape[2]
+
+    def new_map(l, b, t, pr):
+        return (l, b, 0, 0)
+
+    def blk_map(l, b, t, pr):
+        return (l, b, jnp.minimum(pr[b] // 8 + t, S // 8 - 1), 0)
+
+    def sblk_map(l, b, t, pr):
+        return (l, b, 0, jnp.minimum(pr[b] // 128 + t, Ssc // 128 - 1))
+
+    nblk = (T + 6) // 8 + 1
+    row_kw = dict(T=T, Tp=Tp, S=S)
+
+    if not quant:
+        def kernel(pos_ref, rk_ref, rv_ref, ck_ref, cv_ref, ok_ref, ov_ref):
+            b, t = pl.program_id(1), pl.program_id(2)
+            pos = pos_ref[b]
+            ok_ref[0, 0] = _merge_rows_block(
+                pos, t, rk_ref[0, 0].astype(jnp.float32), ck_ref[0, 0],
+                ok_ref.dtype, **row_kw)
+            ov_ref[0, 0] = _merge_rows_block(
+                pos, t, rv_ref[0, 0].astype(jnp.float32), cv_ref[0, 0],
+                ov_ref.dtype, **row_kw)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(L, B, nblk),
+            in_specs=[pl.BlockSpec((1, 1, Tp, Kc), new_map)] * 2
+            + [pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2,
+            out_specs=[pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)] * 2,
+            input_output_aliases={3: 0, 4: 1},
+            interpret=interpret,
+        )(write_pos.astype(jnp.int32), rows_k, rows_v, cache_k, cache_v)
+
+    sc_kw = dict(T=T, Tp=Tp, S=Ssc)
+
+    def kernel(pos_ref, rk_ref, rv_ref, srk_ref, srv_ref,
+               ck_ref, cv_ref, sk_ref, sv_ref,
+               ok_ref, ov_ref, osk_ref, osv_ref):
+        b, t = pl.program_id(1), pl.program_id(2)
+        pos = pos_ref[b]
+        ok_ref[0, 0] = _merge_rows_block(
+            pos, t, rk_ref[0, 0].astype(jnp.float32), ck_ref[0, 0],
+            ok_ref.dtype, **row_kw)
+        ov_ref[0, 0] = _merge_rows_block(
+            pos, t, rv_ref[0, 0].astype(jnp.float32), cv_ref[0, 0],
+            ov_ref.dtype, **row_kw)
+        osk_ref[0, 0] = _merge_scale_block(
+            pos, t, srk_ref[0, 0].astype(jnp.float32), sk_ref[0, 0],
+            osk_ref.dtype, **sc_kw)
+        osv_ref[0, 0] = _merge_scale_block(
+            pos, t, srv_ref[0, 0].astype(jnp.float32), sv_ref[0, 0],
+            osv_ref.dtype, **sc_kw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(L, B, nblk),
+        in_specs=[pl.BlockSpec((1, 1, Tp, Kc), new_map)] * 2
+        + [pl.BlockSpec((1, 1, H, Tp), new_map)] * 2
+        + [pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2
+        + [pl.BlockSpec((1, 1, H, 128), sblk_map)] * 2,
+        out_specs=[pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2
+        + [pl.BlockSpec((1, 1, H, 128), sblk_map)] * 2,
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)] * 2
+        + [jax.ShapeDtypeStruct(scale_k.shape, scale_k.dtype)] * 2,
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(write_pos.astype(jnp.int32), rows_k, rows_v, srows_k, srows_v,
+      cache_k, cache_v, scale_k, scale_v)
+
+
 def append_scale_rows_inplace(scale, rows, write_pos, *, interpret=False):
     """Scale counterpart: scale [L, B, H, S]; rows [L, B, H, T] (T <= 8)."""
     import jax
