@@ -393,34 +393,38 @@ def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
             srows_v = jnp.pad(srows_v, spad)
         H = scale_k.shape[2]
 
-    def new_map(l, b, t, pr):
-        return (l, b, 0, 0)
+    # blocks span ALL L layers at one (request, S-offset): the write position
+    # depends only on b, so grid (B, nblk) moves L*8*Kc per step instead of an
+    # (L, B, nblk) grid of tiny per-layer DMAs (16x fewer grid iterations)
+    def new_map(b, t, pr):
+        return (0, b, 0, 0)
 
-    def blk_map(l, b, t, pr):
-        return (l, b, jnp.minimum(pr[b] // 8 + t, S // 8 - 1), 0)
+    def blk_map(b, t, pr):
+        return (0, b, jnp.minimum(pr[b] // 8 + t, S // 8 - 1), 0)
 
-    def sblk_map(l, b, t, pr):
-        return (l, b, 0, jnp.minimum(pr[b] // 128 + t, Ssc // 128 - 1))
+    def sblk_map(b, t, pr):
+        return (0, b, 0, jnp.minimum(pr[b] // 128 + t, Ssc // 128 - 1))
 
     nblk = (T + 6) // 8 + 1
     row_kw = dict(T=T, Tp=Tp, S=S)
 
     if not quant:
         def kernel(pos_ref, rk_ref, rv_ref, ck_ref, cv_ref, ok_ref, ov_ref):
-            b, t = pl.program_id(1), pl.program_id(2)
+            b, t = pl.program_id(0), pl.program_id(1)
             pos = pos_ref[b]
-            ok_ref[0, 0] = _merge_rows_block(
-                pos, t, rk_ref[0, 0].astype(jnp.float32), ck_ref[0, 0],
-                ok_ref.dtype, **row_kw)
-            ov_ref[0, 0] = _merge_rows_block(
-                pos, t, rv_ref[0, 0].astype(jnp.float32), cv_ref[0, 0],
-                ov_ref.dtype, **row_kw)
+            for l in range(L):
+                ok_ref[l, 0] = _merge_rows_block(
+                    pos, t, rk_ref[l, 0].astype(jnp.float32), ck_ref[l, 0],
+                    ok_ref.dtype, **row_kw)
+                ov_ref[l, 0] = _merge_rows_block(
+                    pos, t, rv_ref[l, 0].astype(jnp.float32), cv_ref[l, 0],
+                    ov_ref.dtype, **row_kw)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(L, B, nblk),
-            in_specs=[pl.BlockSpec((1, 1, Tp, Kc), new_map)] * 2
-            + [pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2,
-            out_specs=[pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2,
+            num_scalar_prefetch=1, grid=(B, nblk),
+            in_specs=[pl.BlockSpec((L, 1, Tp, Kc), new_map)] * 2
+            + [pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2,
+            out_specs=[pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2,
         )
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
@@ -434,29 +438,30 @@ def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
     def kernel(pos_ref, rk_ref, rv_ref, srk_ref, srv_ref,
                ck_ref, cv_ref, sk_ref, sv_ref,
                ok_ref, ov_ref, osk_ref, osv_ref):
-        b, t = pl.program_id(1), pl.program_id(2)
+        b, t = pl.program_id(0), pl.program_id(1)
         pos = pos_ref[b]
-        ok_ref[0, 0] = _merge_rows_block(
-            pos, t, rk_ref[0, 0].astype(jnp.float32), ck_ref[0, 0],
-            ok_ref.dtype, **row_kw)
-        ov_ref[0, 0] = _merge_rows_block(
-            pos, t, rv_ref[0, 0].astype(jnp.float32), cv_ref[0, 0],
-            ov_ref.dtype, **row_kw)
-        osk_ref[0, 0] = _merge_scale_block(
-            pos, t, srk_ref[0, 0].astype(jnp.float32), sk_ref[0, 0],
-            osk_ref.dtype, **sc_kw)
-        osv_ref[0, 0] = _merge_scale_block(
-            pos, t, srv_ref[0, 0].astype(jnp.float32), sv_ref[0, 0],
-            osv_ref.dtype, **sc_kw)
+        for l in range(L):
+            ok_ref[l, 0] = _merge_rows_block(
+                pos, t, rk_ref[l, 0].astype(jnp.float32), ck_ref[l, 0],
+                ok_ref.dtype, **row_kw)
+            ov_ref[l, 0] = _merge_rows_block(
+                pos, t, rv_ref[l, 0].astype(jnp.float32), cv_ref[l, 0],
+                ov_ref.dtype, **row_kw)
+            osk_ref[l, 0] = _merge_scale_block(
+                pos, t, srk_ref[l, 0].astype(jnp.float32), sk_ref[l, 0],
+                osk_ref.dtype, **sc_kw)
+            osv_ref[l, 0] = _merge_scale_block(
+                pos, t, srv_ref[l, 0].astype(jnp.float32), sv_ref[l, 0],
+                osv_ref.dtype, **sc_kw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(L, B, nblk),
-        in_specs=[pl.BlockSpec((1, 1, Tp, Kc), new_map)] * 2
-        + [pl.BlockSpec((1, 1, H, Tp), new_map)] * 2
-        + [pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2
-        + [pl.BlockSpec((1, 1, H, 128), sblk_map)] * 2,
-        out_specs=[pl.BlockSpec((1, 1, 8, Kc), blk_map)] * 2
-        + [pl.BlockSpec((1, 1, H, 128), sblk_map)] * 2,
+        num_scalar_prefetch=1, grid=(B, nblk),
+        in_specs=[pl.BlockSpec((L, 1, Tp, Kc), new_map)] * 2
+        + [pl.BlockSpec((L, 1, H, Tp), new_map)] * 2
+        + [pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2
+        + [pl.BlockSpec((L, 1, H, 128), sblk_map)] * 2,
+        out_specs=[pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2
+        + [pl.BlockSpec((L, 1, H, 128), sblk_map)] * 2,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
