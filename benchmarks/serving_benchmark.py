@@ -87,6 +87,11 @@ def main():
           f"{args.slots} slots: {toks} tokens in {dt:.2f}s "
           f"({toks / dt:.1f} tok/s, {args.num_requests / dt:.2f} req/s)",
           file=sys.stderr)
+    st = getattr(engine, "last_serve_stats", None)
+    if st:
+        print(f"[serving] scheduler: mean queue {st['mean_queue_ms']:.1f}ms, "
+              f"mean service {st['mean_service_ms']:.1f}ms "
+              f"({st['served']} served)", file=sys.stderr)
     print(json.dumps({
         "metric": f"serving_{args.mode}_tokens_per_s_{args.model.split('/')[-1]}"
                   f"_slots{args.slots}_ctx{prefix}",

@@ -154,39 +154,53 @@ class ServingEngine(SpecEngine):
         request (in submission order).  All prompts must share one length
         (callers bucket/pad upstream, as the reference's equal-length batches
         do).  `rng`: stream key when EngineConfig.temperature > 0 (each
-        request samples from its own salt=request-id noise stream)."""
+        request samples from its own salt=request-id noise stream).
+
+        Admission/slot lifecycle runs through the native FCFS scheduler
+        (magicdec_tpu.native.Scheduler, C++ with an identical Python
+        fallback); per-request queue/service latencies land in
+        ``self.last_serve_stats``."""
+        import time
+
+        from magicdec_tpu import native
+
         prefix = len(prompts[0])
         assert all(len(p) == prefix for p in prompts)
         sst = self.init_serving(B, prefix, rng=rng)
-        queue = list(enumerate(prompts))
-        slot_req: Dict[int, int] = {}
+        sched = native.Scheduler(B)
+        t0 = time.perf_counter_ns()
+        now_us = lambda: (time.perf_counter_ns() - t0) // 1000
+        for rid in range(len(prompts)):
+            sched.submit(rid, now_us())
         results: Dict[int, np.ndarray] = {}
 
         def refill(sst):
-            active = np.asarray(sst.active).copy()
+            active = np.asarray(sst.active)
             done = np.asarray(sst.done)
+            output = committed = None
             for slot in range(B):
                 if active[slot] and done[slot]:
-                    rid = slot_req.pop(slot)
-                    n = int(np.asarray(sst.spec.num_committed)[slot])
-                    results[rid] = np.asarray(sst.spec.output)[slot, :n]
+                    rid = sched.complete(slot, now_us())
+                    if output is None:  # one host readback for all drains
+                        output = np.asarray(sst.spec.output)
+                        committed = np.asarray(sst.spec.num_committed)
+                    results[rid] = output[slot, : int(committed[slot])]
                     sst = ServingState(spec=sst.spec,
                                        active=sst.active.at[slot].set(False),
                                        done=sst.done.at[slot].set(False))
-                    active[slot] = False
-            for slot in range(B):
-                if not active[slot] and queue:
-                    rid, prompt = queue.pop(0)
-                    sst = self.admit(sst, slot, prompt, salt=rid)
-                    slot_req[slot] = rid
-                    active[slot] = True
+            for rid, slot in sched.assign(now_us()):
+                sst = self.admit(sst, slot, prompts[rid], salt=rid)
             return sst
 
         sst = refill(sst)
         windows = self._windows_fn(B, windows_per_sync)
-        while slot_req or queue:
+        while any(sched.counts()[:2]):
             sst = windows(self.params, self._draft_arg(), sst)
             sst = refill(sst)
+        mean_q_us, mean_s_us = sched.stats()
+        self.last_serve_stats = {"mean_queue_ms": mean_q_us / 1e3,
+                                 "mean_service_ms": mean_s_us / 1e3,
+                                 "served": sched.counts()[2]}
         return [results[i] for i in range(len(prompts))]
 
 

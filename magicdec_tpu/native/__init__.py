@@ -56,6 +56,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.md_allocator_rollback.argtypes = [vp, i64, i64]
         lib.md_allocator_release.argtypes = [vp, i64]
         lib.md_allocator_tables.argtypes = [vp, i32p, i32p, u8p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.md_sched_new.restype = vp
+        lib.md_sched_new.argtypes = [i64]
+        lib.md_sched_free.argtypes = [vp]
+        lib.md_sched_submit.argtypes = [vp, i64, i64]
+        lib.md_sched_assign.restype = i64
+        lib.md_sched_assign.argtypes = [vp, i64, i64p, i64p, i64]
+        lib.md_sched_complete.restype = i64
+        lib.md_sched_complete.argtypes = [vp, i64, i64]
+        lib.md_sched_counts.argtypes = [vp, i64p]
+        lib.md_sched_stats.argtypes = [vp, f64p]
         _lib = lib
         return _lib
 
@@ -186,3 +198,87 @@ class PageAllocator:
                 ac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
             return pt, ln, ac.astype(bool)
         return self._table.copy(), self._len.copy(), self._active.astype(bool)
+
+
+class Scheduler:
+    """FCFS continuous-batching request scheduler (native-backed, identical
+    pure-Python fallback).  Drives engine/serving.py's slot recycling:
+    submit(req_id) -> assign() pairs queued requests with free slots in
+    ascending slot order -> complete(slot) frees and accounts latency.
+    The reference has no request-level serving at all (SURVEY.md §2.2)."""
+
+    def __init__(self, n_slots: int):
+        self.n_slots = n_slots
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.md_sched_new(n_slots)
+        else:
+            self._q: list = []
+            self._slot_req = [-1] * n_slots
+            self._slot_start = [0] * n_slots
+            self._served = 0
+            self._sum_q = 0.0
+            self._sum_s = 0.0
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_h", None):
+            self._lib.md_sched_free(self._h)
+            self._h = None
+
+    def submit(self, req_id: int, arrival_us: int = 0) -> None:
+        if self._lib is not None:
+            self._lib.md_sched_submit(self._h, req_id, arrival_us)
+        else:
+            self._q.append((req_id, arrival_us))
+
+    def assign(self, now_us: int = 0) -> list:
+        """[(req_id, slot), ...] FCFS into ascending free slots."""
+        if self._lib is not None:
+            out_r = np.empty(self.n_slots, np.int64)
+            out_s = np.empty(self.n_slots, np.int64)
+            p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            n = self._lib.md_sched_assign(self._h, now_us, p(out_r), p(out_s),
+                                          self.n_slots)
+            return list(zip(out_r[:n].tolist(), out_s[:n].tolist()))
+        pairs = []
+        for slot in range(self.n_slots):
+            if self._slot_req[slot] >= 0 or not self._q:
+                continue
+            rid, arr = self._q.pop(0)
+            self._sum_q += now_us - arr
+            self._slot_req[slot] = rid
+            self._slot_start[slot] = now_us
+            pairs.append((rid, slot))
+        return pairs
+
+    def complete(self, slot: int, now_us: int = 0) -> int:
+        if self._lib is not None:
+            return int(self._lib.md_sched_complete(self._h, slot, now_us))
+        if slot < 0 or self._slot_req[slot] < 0:
+            return -1
+        rid = self._slot_req[slot]
+        self._slot_req[slot] = -1
+        self._sum_s += now_us - self._slot_start[slot]
+        self._served += 1
+        return rid
+
+    def counts(self) -> Tuple[int, int, int]:
+        """(queued, running, served)."""
+        if self._lib is not None:
+            c = np.empty(3, np.int64)
+            self._lib.md_sched_counts(
+                self._h, c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            return int(c[0]), int(c[1]), int(c[2])
+        running = sum(r >= 0 for r in self._slot_req)
+        return len(self._q), running, self._served
+
+    def stats(self) -> Tuple[float, float]:
+        """(mean queue us, mean service us)."""
+        if self._lib is not None:
+            s = np.empty(2, np.float64)
+            self._lib.md_sched_stats(
+                self._h, s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            return float(s[0]), float(s[1])
+        assigned = self._served + sum(r >= 0 for r in self._slot_req)
+        return (self._sum_q / assigned if assigned else 0.0,
+                self._sum_s / self._served if self._served else 0.0)

@@ -165,4 +165,92 @@ void md_allocator_tables(void* h, int32_t* page_indices, int32_t* lengths,
   std::memcpy(active, a->active.data(), a->active.size());
 }
 
+// ---------------------------------------------------------------------------
+// request scheduler (continuous-batching admission)
+// ---------------------------------------------------------------------------
+//
+// FCFS request queue -> batch-slot assignment + per-request latency
+// accounting, driving engine/serving.py's slot recycling.  The reference has
+// no request-level serving at all (fixed batches, batch-global termination,
+// SURVEY.md §2.2); this is the host-side half of the north-star
+// continuous-batching extension, kept native so admission stays off the
+// Python hot loop at production request rates.
+
+struct Scheduler {
+  int64_t n_slots;
+  std::vector<int64_t> q_req;      // FIFO request ids
+  std::vector<int64_t> q_arrival;  // us
+  size_t q_head = 0;
+  std::vector<int64_t> slot_req;   // [n_slots], -1 = free
+  std::vector<int64_t> slot_start; // assignment time us
+  int64_t served = 0;
+  double sum_queue_us = 0.0, sum_service_us = 0.0;
+};
+
+void* md_sched_new(int64_t n_slots) {
+  auto* s = new Scheduler();
+  s->n_slots = n_slots;
+  s->slot_req.assign(n_slots, -1);
+  s->slot_start.assign(n_slots, 0);
+  return s;
+}
+
+void md_sched_free(void* h) { delete static_cast<Scheduler*>(h); }
+
+void md_sched_submit(void* h, int64_t req_id, int64_t arrival_us) {
+  auto* s = static_cast<Scheduler*>(h);
+  s->q_req.push_back(req_id);
+  s->q_arrival.push_back(arrival_us);
+}
+
+// Assign queued requests to free slots (FCFS, ascending slot order).
+// out_req/out_slot: preallocated [max_n].  Returns count assigned.
+int64_t md_sched_assign(void* h, int64_t now_us, int64_t* out_req,
+                        int64_t* out_slot, int64_t max_n) {
+  auto* s = static_cast<Scheduler*>(h);
+  int64_t n = 0;
+  for (int64_t slot = 0; slot < s->n_slots && n < max_n; ++slot) {
+    if (s->slot_req[slot] >= 0) continue;
+    if (s->q_head >= s->q_req.size()) break;
+    int64_t rid = s->q_req[s->q_head];
+    s->sum_queue_us += double(now_us - s->q_arrival[s->q_head]);
+    ++s->q_head;
+    s->slot_req[slot] = rid;
+    s->slot_start[slot] = now_us;
+    out_req[n] = rid;
+    out_slot[n] = slot;
+    ++n;
+  }
+  return n;
+}
+
+// Free a slot; returns the request id that occupied it (-1 if it was free).
+int64_t md_sched_complete(void* h, int64_t slot, int64_t now_us) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (slot < 0 || slot >= s->n_slots || s->slot_req[slot] < 0) return -1;
+  int64_t rid = s->slot_req[slot];
+  s->slot_req[slot] = -1;
+  s->sum_service_us += double(now_us - s->slot_start[slot]);
+  ++s->served;
+  return rid;
+}
+
+// counts: [queued, running, served]; stats: [mean_queue_us, mean_service_us]
+void md_sched_counts(void* h, int64_t* counts) {
+  auto* s = static_cast<Scheduler*>(h);
+  counts[0] = int64_t(s->q_req.size() - s->q_head);
+  int64_t running = 0;
+  for (int64_t i = 0; i < s->n_slots; ++i) running += (s->slot_req[i] >= 0);
+  counts[1] = running;
+  counts[2] = s->served;
+}
+
+void md_sched_stats(void* h, double* stats) {
+  auto* s = static_cast<Scheduler*>(h);
+  int64_t assigned = s->served;
+  int64_t started = int64_t(s->q_head);
+  stats[0] = started ? s->sum_queue_us / double(started) : 0.0;
+  stats[1] = assigned ? s->sum_service_us / double(assigned) : 0.0;
+}
+
 }  // extern "C"
