@@ -151,6 +151,9 @@ def main():
         st = engine.encode(prompt)
         int(np.asarray(st.token0)[0])
         ph = time_phases(engine, st, iters=8)
+        del st  # free the profiling state's caches (GBs) BEFORE the rebuilt
+        import gc  # engine allocates its own — two live states OOM the chip
+        gc.collect()
         alpha = AT.alpha_from_window_stats(tpw, gamma)
         g_star = AT.pick_gamma(alpha, ph["draft_step_ms"],
                                ph["verify_step_ms"],

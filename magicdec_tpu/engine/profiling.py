@@ -1,15 +1,22 @@
 """Per-phase timing for the speculation loop (reference --benchmark mode:
-tests/SnapKV/selfspec_benchmark.py:118-143 wraps draft/verify phases in
+tests/SnapKV/selfspec_benchmark.py:118-143 wraps draft/target phases in
 cuda-synchronized timers; its backend re-runs single steps without advancing
 state via benchmark=True, backend.py:140-144).
 
 Because the engine's production loop is one fused XLA program, phases are
 timed here by running isolated jitted step functions chained on-device N times
 (a read-back forces completion — plain block_until_ready does not synchronize
-through remote-device relays)."""
+through remote-device relays).
+
+Memory discipline: each chain DONATES its state (caches ride the fori carry
+on the same buffers) and returns only the computed probe; cache-shaped state
+is rebuilt device-side per measurement (timing is value-independent).  An
+undonated chain pairs every cache-sized state with a defensive copy — at
+int8 8k/B=32 with a quantized draft copy resident that OOMs the chip."""
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict
 
@@ -21,33 +28,34 @@ import jax.numpy as jnp
 from magicdec_tpu.models import llama as M
 
 
-def _chain(fn, n, repeats: int = 3):
-    """Per-iteration seconds of fn(x, *args) -> x', measured as the difference
-    between an n-chain and a 2n-chain so the constant dispatch + readback
-    overhead (~28ms through the remote-device relay) cancels exactly on any
-    platform.  Every array (params included) must be an explicit argument —
-    anything closed over becomes a baked-in jit constant and gets re-uploaded
-    per compile."""
+def _chain(fn, n, make_state, weights, repeats: int = 3):
+    """Per-iteration seconds of fn(state, weights)->state, measured as the
+    difference between an n-chain and a 2n-chain so constant costs (dispatch,
+    ~28ms relay readback, the state build) cancel exactly.  state[0] must be
+    a COMPUTED array (the probe); weights are non-donated explicit arguments
+    (anything closed over becomes a baked-in jit constant, re-uploaded per
+    compile)."""
     def make(m):
-        @jax.jit
-        def run(x, *args):
-            return jax.lax.fori_loop(0, m, lambda i, x: fn(x, *args), x)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(state, weights):
+            state = jax.lax.fori_loop(0, m, lambda i, s: fn(s, weights), state)
+            return state[0]
         return run
 
     run1, run2 = make(n), make(2 * n)
 
     def readback(r):
-        float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        float(np.asarray(r).ravel()[0].astype(np.float32))
 
-    def timed(*args):
-        readback(run1(*args))  # compile + warm
-        readback(run2(*args))
+    def timed():
+        readback(run1(make_state(), weights))  # compile + warm
+        readback(run2(make_state(), weights))
         estimates = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            readback(run1(*args))
+            readback(run1(make_state(), weights))
             t1 = time.perf_counter()
-            readback(run2(*args))
+            readback(run2(make_state(), weights))
             t2 = time.perf_counter()
             estimates.append(((t2 - t1) - (t1 - t0)) / n)
         return float(np.median(estimates))
@@ -57,38 +65,63 @@ def _chain(fn, n, repeats: int = 3):
 
 def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
     """Milliseconds per single draft step, verify step, and baseline decode
-    step at the current state's lengths.  State is not modified."""
+    step at the given state's lengths.  Cache contents are rebuilt as zeros
+    (value-independent timing); `state` itself is not consumed."""
     cfg = engine.cfg
     e = engine.ecfg
     dparams, dcfg = engine._draft_model(engine.params)
-    tok = state.token0[:, None]
+    B = state.token0.shape[0]
+    # host copies: every leaf of a donated state tuple must be a FRESH device
+    # buffer per call (reusing one array would donate it on the first call)
+    lens_np = np.asarray(state.target_lens)
+    dfill_np = np.asarray(state.draft_fill)
+    dpos_np = np.asarray(state.draft_pos)
+    tshapes = {k: (v.shape, v.dtype)
+               for k, v in engine._state_tcaches(state).items()}
+    dshapes = {k: (v.shape, v.dtype)
+               for k, v in (("dk", state.dk), ("dv", state.dv))}
 
-    tcaches = engine._state_tcaches(state)
+    def tok():
+        return jnp.zeros((B, 1), jnp.int32)
 
-    def draft_step(tok, dparams, dk, dv, fill, pos):
-        nxt, _ = M.forward_draft(dparams, dcfg, tok, fill, pos,
-                                 {"dk": dk, "dv": dv}, backend=e.attn_backend)
-        return nxt
+    def make_tcaches():
+        return {k: jnp.zeros(s, d) for k, (s, d) in tshapes.items()}
 
-    def verify_step(buf, params, caches, lens):
-        out, _ = M.forward_target(params, cfg, buf, lens, caches,
-                                  backend=e.attn_backend)
-        return out
+    def make_dcaches():
+        return {k: jnp.zeros(s, d) for k, (s, d) in dshapes.items()}
 
-    def baseline_step(tok, params, caches, lens):
-        out, _ = M.forward_target(params, cfg, tok, lens, caches,
-                                  backend=e.attn_backend)
-        return out
+    def draft_step(st, dparams):
+        tok, fill, pos, caches = st
+        nxt, caches = M.forward_draft(dparams, dcfg, tok, fill, pos, caches,
+                                      backend=e.attn_backend)
+        return nxt, fill + 1, pos + 1, caches
 
-    buf = jnp.tile(tok, (1, e.gamma + 1))
+    def verify_step(st, params):
+        buf, lens, caches = st
+        out, caches = M.forward_target(params, cfg, buf, lens, caches,
+                                       backend=e.attn_backend)
+        return jnp.concatenate([out[:, :1], out[:, :-1]], 1), lens, caches
+
+    def baseline_step(st, params):
+        tok, lens, caches = st
+        nxt, caches = M.forward_target(params, cfg, tok, lens, caches,
+                                       backend=e.attn_backend)
+        return nxt, lens, caches
+
     results = {
-        "draft_step_ms": _chain(draft_step, iters)(
-            tok, dparams, state.dk, state.dv, state.draft_fill,
-            state.draft_pos) * 1e3,
-        "verify_step_ms": _chain(verify_step, iters)(
-            buf, engine.params, tcaches, state.target_lens) * 1e3,
-        "baseline_step_ms": _chain(baseline_step, iters)(
-            tok, engine.params, tcaches, state.target_lens) * 1e3,
+        "draft_step_ms": _chain(
+            draft_step, iters,
+            lambda: (tok(), jnp.asarray(dfill_np), jnp.asarray(dpos_np),
+                     make_dcaches()), dparams)() * 1e3,
+        "verify_step_ms": _chain(
+            verify_step, max(2, iters // 2),
+            lambda: (jnp.zeros((B, e.gamma + 1), jnp.int32),
+                     jnp.asarray(lens_np), make_tcaches()),
+            engine.params)() * 1e3,
+        "baseline_step_ms": _chain(
+            baseline_step, iters,
+            lambda: (tok(), jnp.asarray(lens_np), make_tcaches()),
+            engine.params)() * 1e3,
     }
     g = e.gamma
     results["window_ms_est"] = results["draft_step_ms"] * g + results["verify_step_ms"]

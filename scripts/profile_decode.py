@@ -11,14 +11,21 @@ context/batch so the gap to the HBM roofline is attributable:
   - head_ms:        final-norm + lm_head matmul + argmax alone
 
 Usage: python scripts/profile_decode.py [--B 32] [--ctx 8192] [--kv_quant int8]
-       [--quantize int8] [--gamma 4]
+       [--quantize int8] [--draft_quant int8] [--gamma 4]
 
-Caches are built directly (no prefill) with random contents; timing does not
+Caches are built directly (no prefill) with constant contents; timing does not
 depend on values.  Uses the two-chain differencing estimator (CLAUDE.md:
 readback costs ~28ms through the relay; block_until_ready does not sync).
+
+Memory discipline: each chain DONATES its state (caches ride the loop carry on
+the same buffers) and returns only the computed probe, and the state is
+rebuilt device-side per measurement — an undonated chain would pair every
+6 GB cache state with a second 6 GB output copy and OOM at int8 8k/B=32 with
+a quantized draft copy resident.
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -31,34 +38,33 @@ import jax
 import jax.numpy as jnp
 
 
-def _chain(fn, n, repeats=3):
-    """Per-iteration seconds of fn(state)->state via (2n-chain - n-chain)/n."""
+def _chain(fn, n, make_state, weights, repeats=3):
+    """Per-iteration seconds of fn(state, weights)->state via the
+    (2n-chain - n-chain)/n difference.  state[0] must be a COMPUTED array
+    (the probe that forces completion); weights are non-donated."""
     def make(m):
-        @jax.jit
-        def run(state):
-            return jax.lax.fori_loop(0, m, lambda i, s: fn(s), state)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(state, weights):
+            state = jax.lax.fori_loop(0, m, lambda i, s: fn(s, weights), state)
+            return state[0]
         return run
 
     run1, run2 = make(n), make(2 * n)
 
     def readback(r):
-        # r[1] is each phase state's COMPUTED token/hidden output.  Reading a
-        # pass-through element (e.g. params, which jit returns by aliasing its
-        # input buffer) would complete without waiting for the computation and
-        # time only the dispatch.
-        float(np.asarray(r[1]).ravel()[0].astype(np.float32))
+        float(np.asarray(r).ravel()[0].astype(np.float32))
 
-    def timed(state):
-        readback(run1(state))
-        readback(run2(state))
+    def timed():
+        readback(run1(make_state(), weights))  # compile + warm
+        readback(run2(make_state(), weights))
         est = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            readback(run1(state))
+            readback(run1(make_state(), weights))
             t1 = time.perf_counter()
-            readback(run2(state))
+            readback(run2(make_state(), weights))
             t2 = time.perf_counter()
-            est.append(((t2 - t1) - (t1 - t0)) / n)
+            est.append(((t2 - t1) - (t1 - t0)) / n)  # state builds cancel
         return float(np.median(est))
 
     return timed
@@ -75,7 +81,7 @@ def main():
     p.add_argument("--quantize", default=None, choices=["int8", "int4"])
     p.add_argument("--draft_quant", default=None, choices=["int8", "int4"],
                    help="quantized draft-pass weight copy (EngineConfig."
-                        "draft_quant): draft_step/head run on it")
+                        "draft_quant): draft_step runs on it")
     p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--seq_round", type=int, default=2048)
@@ -108,81 +114,87 @@ def main():
     S = ((ctx + 80 + g + 2 + args.seq_round - 1) // args.seq_round) * args.seq_round
     L, Hkv, hd = cfg.n_layer, cfg.n_kv_head, cfg.head_dim
     K = Hkv * hd
-    rng = np.random.RandomState(0)
 
-    # allocate on-device (jnp.zeros/full): host-side randint at these shapes
-    # is tens of GB of int64 + a multi-GB relay upload; timing is
-    # value-independent (no data-dependent control flow in the kernels)
-    # (k/v and ks/vs must be DISTINCT buffers: the in-place appends alias
-    # their cache operand, and aliasing one buffer twice forces a copy)
-    if args.kv_quant:
-        lanes = K // 2 if args.kv_quant == "int4" else K
-        caches = {"k": jnp.ones((L, B, S, lanes), jnp.int8),
-                  "v": jnp.ones((L, B, S, lanes), jnp.int8),
-                  "ks": jnp.full((L, B, Hkv, S), 0.01, jnp.float32),
-                  "vs": jnp.full((L, B, Hkv, S), 0.01, jnp.float32)}
-    else:
-        caches = {"k": jnp.full((L, B, S, K), 0.1, jnp.bfloat16),
-                  "v": jnp.full((L, B, S, K), 0.1, jnp.bfloat16)}
+    # state builders allocate on-device per measurement (memset-cheap; host
+    # randint at these shapes is tens of GB of int64 + a multi-GB upload;
+    # timing is value-independent).  k/v must be DISTINCT buffers: the
+    # in-place appends alias their cache operand.
+    def make_tcaches():
+        if args.kv_quant:
+            lanes = K // 2 if args.kv_quant == "int4" else K
+            return {"k": jnp.ones((L, B, S, lanes), jnp.int8),
+                    "v": jnp.ones((L, B, S, lanes), jnp.int8),
+                    "ks": jnp.full((L, B, Hkv, S), 0.01, jnp.float32),
+                    "vs": jnp.full((L, B, Hkv, S), 0.01, jnp.float32)}
+        return {"k": jnp.full((L, B, S, K), 0.1, jnp.bfloat16),
+                "v": jnp.full((L, B, S, K), 0.1, jnp.bfloat16)}
 
     dcap = ((args.draft_budget + 80 + g + 2 + 127) // 128) * 128
-    dcaches = {"dk": jnp.full((L, B, dcap, K), 0.1, jnp.bfloat16),
-               "dv": jnp.full((L, B, dcap, K), 0.1, jnp.bfloat16)}
 
-    lens = jnp.full((B,), ctx, jnp.int32)
-    dfill = jnp.full((B,), args.draft_budget, jnp.int32)
-    tok = jnp.zeros((B, 1), jnp.int32)
-    buf = jnp.zeros((B, g + 1), jnp.int32)
+    def make_dcaches():
+        return {"dk": jnp.full((L, B, dcap, K), 0.1, jnp.bfloat16),
+                "dv": jnp.full((L, B, dcap, K), 0.1, jnp.bfloat16)}
 
-    def baseline_step(st):
-        params, tok, lens, caches = st
+    # every leaf of a donated state tuple must be freshly built per call
+    lens = lambda: jnp.full((B,), ctx, jnp.int32)
+    tok = lambda: jnp.zeros((B, 1), jnp.int32)
+    buf = lambda: jnp.zeros((B, g + 1), jnp.int32)
+
+    def baseline_step(st, params):
+        tok, lens, caches = st
         nxt, caches = M.forward_target(params, cfg, tok, lens, caches,
                                        backend="flash")
-        return params, nxt, lens + 1, caches
+        return nxt, lens + 1, caches
 
-    def noctx_step(st):
-        params, tok, lens, caches = st
+    def noctx_step(st, params):
+        tok, lens, caches = st
         nxt, caches = M.forward_target(params, cfg, tok, lens, caches,
                                        backend="flash")
-        return params, nxt, lens, caches  # lens stays 0
+        return nxt, lens, caches  # lens stays 0
 
-    def draft_step(st):
-        dparams, tok, fill, caches = st
+    def draft_step(st, dparams):
+        tok, fill, caches = st
         nxt, caches = M.forward_draft(dparams, cfg, tok, fill, fill, caches,
                                       backend="flash")
-        return dparams, nxt, fill + 1, caches
+        return nxt, fill + 1, caches
 
-    def verify_step(st):
-        params, buf, lens, caches = st
+    def verify_step(st, params):
+        buf, lens, caches = st
         out, caches = M.forward_target(params, cfg, buf, lens, caches,
                                        backend="flash")
-        return params, jnp.concatenate([out[:, :1], out[:, :-1]], 1), \
-            lens + g + 1, caches
+        return jnp.concatenate([out[:, :1], out[:, :-1]], 1), lens + g + 1, caches
 
-    def head_only(st):
-        params, x = st
+    def head_only(st, params):
+        (x,) = st
         t = M.head_argmax(params, cfg, x)
-        return params, x + t[..., None].astype(x.dtype) * 0 + 1e-6
+        return (x + t[..., None].astype(x.dtype) * 0 + 1e-6,)
 
     n = args.iters
-    x = jnp.asarray(rng.randn(B, 1, cfg.dim) * 0.1, jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x_np = (rng.randn(B, 1, cfg.dim) * 0.1).astype(np.float32)
     phases = {
-        "baseline_step_ms": (baseline_step, n, (params, tok, lens, caches)),
-        "draft_step_ms": (draft_step, n, (dparams, tok, dfill, dcaches)),
+        "baseline_step_ms": (baseline_step, n,
+                             lambda: (tok(), lens(), make_tcaches()), params),
+        "draft_step_ms": (draft_step, n,
+                          lambda: (tok(), jnp.full((B,), args.draft_budget,
+                                                   jnp.int32), make_dcaches()),
+                          dparams),
         "verify_step_ms": (verify_step, max(2, n // 2),
-                           (params, buf, lens, caches)),
+                           lambda: (buf(), lens(), make_tcaches()), params),
         "noctx_step_ms": (noctx_step, n,
-                          (params, tok, jnp.zeros((B,), jnp.int32), caches)),
-        "head_ms": (head_only, n, (params, x)),
+                          lambda: (tok(), jnp.zeros((B,), jnp.int32),
+                                   make_tcaches()), params),
+        "head_ms": (head_only, n,
+                    lambda: (jnp.asarray(x_np, jnp.bfloat16),), params),
     }
     want = (args.phases.split(",") if args.phases
             else ["baseline_step_ms", "draft_step_ms", "verify_step_ms",
                   "noctx_step_ms", "head_ms"])
     r = {}
     for name in want:
-        fn, nn, state = phases[name]
+        fn, nn, mk, w = phases[name]
         t0 = time.perf_counter()
-        r[name] = _chain(fn, nn)(state) * 1e3
+        r[name] = _chain(fn, nn, mk, w)() * 1e3
         print(f"{name:28s} {r[name]:10.3f}   (wall {time.perf_counter()-t0:.0f}s)",
               flush=True)
 
