@@ -393,26 +393,40 @@ def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
             srows_v = jnp.pad(srows_v, spad)
         H = scale_k.shape[2]
 
-    # blocks span ALL L layers at one (request, S-offset): the write position
-    # depends only on b, so grid (B, nblk) moves L*8*Kc per step instead of an
-    # (L, B, nblk) grid of tiny per-layer DMAs (16x fewer grid iterations)
-    def new_map(b, t, pr):
-        return (0, b, 0, 0)
+    # blocks span a GROUP of Lb layers at one (request, S-offset): the write
+    # position depends only on b, so grid (L/Lb, B, nblk) moves Lb*8*Kc per
+    # step instead of an (L, B, nblk) grid of tiny per-layer DMAs.  Lb is the
+    # largest divisor of L whose double-buffered blocks fit scoped VMEM
+    # (16 MiB): decode windows (Tp = 8) take the whole stack, prefill chunks
+    # (Tp = 512) take 2-4 layers.
+    esz = jnp.dtype(cache_k.dtype).itemsize
+    per_layer = 2 * Tp * Kc * esz + 4 * 8 * Kc * esz
+    if quant:
+        per_layer += 2 * H * Tp * 4 + 4 * H * 128 * 4
+    Lb = 1
+    for cand in range(L, 0, -1):
+        if L % cand == 0 and per_layer * cand * 2 <= 8 * 1024 * 1024:
+            Lb = cand
+            break
+    n_lg = L // Lb
 
-    def blk_map(b, t, pr):
-        return (0, b, jnp.minimum(pr[b] // 8 + t, S // 8 - 1), 0)
+    def new_map(g, b, t, pr):
+        return (g, b, 0, 0)
 
-    def sblk_map(b, t, pr):
-        return (0, b, 0, jnp.minimum(pr[b] // 128 + t, Ssc // 128 - 1))
+    def blk_map(g, b, t, pr):
+        return (g, b, jnp.minimum(pr[b] // 8 + t, S // 8 - 1), 0)
+
+    def sblk_map(g, b, t, pr):
+        return (g, b, 0, jnp.minimum(pr[b] // 128 + t, Ssc // 128 - 1))
 
     nblk = (T + 6) // 8 + 1
     row_kw = dict(T=T, Tp=Tp, S=S)
 
     if not quant:
         def kernel(pos_ref, rk_ref, rv_ref, ck_ref, cv_ref, ok_ref, ov_ref):
-            b, t = pl.program_id(0), pl.program_id(1)
+            b, t = pl.program_id(1), pl.program_id(2)
             pos = pos_ref[b]
-            for l in range(L):
+            for l in range(Lb):
                 ok_ref[l, 0] = _merge_rows_block(
                     pos, t, rk_ref[l, 0].astype(jnp.float32), ck_ref[l, 0],
                     ok_ref.dtype, **row_kw)
@@ -421,10 +435,10 @@ def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
                     ov_ref.dtype, **row_kw)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(B, nblk),
-            in_specs=[pl.BlockSpec((L, 1, Tp, Kc), new_map)] * 2
-            + [pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2,
-            out_specs=[pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2,
+            num_scalar_prefetch=1, grid=(n_lg, B, nblk),
+            in_specs=[pl.BlockSpec((Lb, 1, Tp, Kc), new_map)] * 2
+            + [pl.BlockSpec((Lb, 1, 8, Kc), blk_map)] * 2,
+            out_specs=[pl.BlockSpec((Lb, 1, 8, Kc), blk_map)] * 2,
         )
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
@@ -438,9 +452,9 @@ def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
     def kernel(pos_ref, rk_ref, rv_ref, srk_ref, srv_ref,
                ck_ref, cv_ref, sk_ref, sv_ref,
                ok_ref, ov_ref, osk_ref, osv_ref):
-        b, t = pl.program_id(0), pl.program_id(1)
+        b, t = pl.program_id(1), pl.program_id(2)
         pos = pos_ref[b]
-        for l in range(L):
+        for l in range(Lb):
             ok_ref[l, 0] = _merge_rows_block(
                 pos, t, rk_ref[l, 0].astype(jnp.float32), ck_ref[l, 0],
                 ok_ref.dtype, **row_kw)
@@ -455,13 +469,13 @@ def append_all_rows_inplace(cache_k, cache_v, rows_k, rows_v, write_pos,
                 osv_ref.dtype, **sc_kw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(B, nblk),
-        in_specs=[pl.BlockSpec((L, 1, Tp, Kc), new_map)] * 2
-        + [pl.BlockSpec((L, 1, H, Tp), new_map)] * 2
-        + [pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2
-        + [pl.BlockSpec((L, 1, H, 128), sblk_map)] * 2,
-        out_specs=[pl.BlockSpec((L, 1, 8, Kc), blk_map)] * 2
-        + [pl.BlockSpec((L, 1, H, 128), sblk_map)] * 2,
+        num_scalar_prefetch=1, grid=(n_lg, B, nblk),
+        in_specs=[pl.BlockSpec((Lb, 1, Tp, Kc), new_map)] * 2
+        + [pl.BlockSpec((Lb, 1, H, Tp), new_map)] * 2
+        + [pl.BlockSpec((Lb, 1, 8, Kc), blk_map)] * 2
+        + [pl.BlockSpec((Lb, 1, H, 128), sblk_map)] * 2,
+        out_specs=[pl.BlockSpec((Lb, 1, 8, Kc), blk_map)] * 2
+        + [pl.BlockSpec((Lb, 1, H, 128), sblk_map)] * 2,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
