@@ -37,7 +37,7 @@ def main():
                    help="verify window gamma+1 for the decode kernels")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--which", default="all",
-                   choices=["all", "decode", "prefill"])
+                   choices=["all", "decode", "prefill", "append"])
     args = p.parse_args()
 
     if args.platform:
@@ -73,7 +73,10 @@ def main():
     results = {}
 
     def bench(name, fn, q, *rest):
-        t = _chain(fn, args.iters)(q, *rest) * 1e3
+        # _chain contract (engine/profiling.py): fn(state, weights) -> state,
+        # state donated and rebuilt per call, state[0] is the computed probe
+        t = _chain(lambda st, w: (fn(st[0], *w),), args.iters,
+                   lambda: (q + 0,), tuple(rest))() * 1e3
         results[name] = round(t, 3)
         print(f"[kernel] {name:32s} {t:8.3f} ms", file=sys.stderr)
 
@@ -120,6 +123,54 @@ def main():
 
         bench("prefill_int8_dequant_flash", dequant_then_flash,
               q, kq, ks, vq, vs, lens)
+
+    if args.which in ("all", "append"):
+        # in-place cache appends at decode/verify shapes over the layer stack
+        # (cost is independent of S beyond the block clamp; small S keeps the
+        # carried caches cheap to rebuild).  Caches ride the donated chain
+        # state like the engine's scan carry.
+        L = cfg.n_layer
+        Sa = 2048
+        Kc = Hkv * hd
+        pos = jnp.full((B,), Sa // 2, jnp.int32)
+
+        def mk_state():
+            return (jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((L, B, Sa, Kc), jnp.int8),
+                    jnp.zeros((L, B, Sa, Kc), jnp.int8),
+                    jnp.zeros((L, B, Hkv, Sa), jnp.float32),
+                    jnp.zeros((L, B, Hkv, Sa), jnp.float32))
+
+        for t in sorted({1, T}):
+            rows = jnp.ones((L, B, t, Kc), jnp.int8)
+            srows = jnp.ones((L, B, Hkv, t), jnp.float32)
+
+            def merged(st, w):
+                _, ck, cv, sk, sv = st
+                pos, rows, srows = w
+                ck, cv, sk, sv = kv_ops.append_all_rows_inplace(
+                    ck, cv, rows, rows, pos, sk, sv, srows, srows,
+                    interpret=interp)
+                return (ck[0, 0, 0, :1].astype(jnp.float32) + sv[0, 0, 0, :1],
+                        ck, cv, sk, sv)
+
+            def per_array(st, w):
+                _, ck, cv, sk, sv = st
+                pos, rows, srows = w
+                ck = kv_ops.append_rows_inplace(ck, rows, pos, interpret=interp)
+                cv = kv_ops.append_rows_inplace(cv, rows, pos, interpret=interp)
+                sk = kv_ops.append_scale_rows_inplace(sk, srows, pos,
+                                                      interpret=interp)
+                sv = kv_ops.append_scale_rows_inplace(sv, srows, pos,
+                                                      interpret=interp)
+                return (ck[0, 0, 0, :1].astype(jnp.float32) + sv[0, 0, 0, :1],
+                        ck, cv, sk, sv)
+
+            for name, fn in ((f"append_T{t}_merged", merged),
+                             (f"append_T{t}_per_array", per_array)):
+                ms = _chain(fn, args.iters, mk_state, (pos, rows, srows))() * 1e3
+                results[name] = round(ms, 3)
+                print(f"[kernel] {name:32s} {ms:8.3f} ms", file=sys.stderr)
 
     print(json.dumps({"metric": f"kernel_bench_{args.model}_B{B}_S{S}",
                       "value": results.get("decode_T1_flash", 0.0),
