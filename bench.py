@@ -145,15 +145,10 @@ def main():
         # phase timers (engine/autotune.py; the reference hand-picks its
         # "Optimal gamma" per config offline, BASELINE.md)
         from magicdec_tpu.engine import autotune as AT
-        from magicdec_tpu.engine.profiling import time_phases
+        from magicdec_tpu.engine.profiling import time_phases_config
 
         tpw = warm[1] / max(warm[2], 1) / args.B
-        st = engine.encode(prompt)
-        int(np.asarray(st.token0)[0])
-        ph = time_phases(engine, st, iters=8)
-        del st  # free the profiling state's caches (GBs) BEFORE the rebuilt
-        import gc  # engine allocates its own — two live states OOM the chip
-        gc.collect()
+        ph = time_phases_config(engine, args.B, prefix, iters=8)
         alpha = AT.alpha_from_window_stats(tpw, gamma)
         g_star = AT.pick_gamma(alpha, ph["draft_step_ms"],
                                ph["verify_step_ms"],

@@ -63,13 +63,38 @@ def _chain(fn, n, make_state, weights, repeats: int = 3):
     return timed
 
 
+def time_phases_config(engine, B: int, ctx: int,
+                       iters: int = 20) -> Dict[str, float]:
+    """time_phases without a real state: shapes/lengths derive from the
+    engine config (timing is value-independent), so no prefill and no live
+    cache state is needed — bench --gamma 0 at bf16 8k/B=32 cannot hold two
+    9.5 GB states."""
+    from magicdec_tpu.engine.engine import kv_quant_bits
+
+    e, cfg = engine.ecfg, engine.cfg
+    dcfg = engine._draft_cfg()
+    shape = engine._cache_shape(B, e.max_seq_len)
+    bits = kv_quant_bits(e.kv_quant)
+    if bits == 4:
+        shape = shape[:-1] + (shape[-1] // 2,)
+    tshapes = {"k": (shape, jnp.int8 if bits else e.cache_dtype),
+               "v": (shape, jnp.int8 if bits else e.cache_dtype)}
+    if bits:
+        sshape = (cfg.n_layer, B, cfg.n_kv_head, e.max_seq_len)
+        tshapes.update(ks=(sshape, jnp.float32), vs=(sshape, jnp.float32))
+    dshape = engine._cache_shape(B, engine._draft_cap, dcfg)
+    dshapes = {"dk": (dshape, e.cache_dtype), "dv": (dshape, e.cache_dtype)}
+    lens_np = np.full((B,), ctx, np.int32)
+    dfill_np = np.full((B,), min(e.draft_budget, ctx), np.int32)
+    dpos_np = (lens_np if e.mode == "snapkv" else dfill_np)
+    return _time_phases_impl(engine, B, lens_np, dfill_np, dpos_np, tshapes,
+                             dshapes, iters)
+
+
 def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
     """Milliseconds per single draft step, verify step, and baseline decode
     step at the given state's lengths.  Cache contents are rebuilt as zeros
     (value-independent timing); `state` itself is not consumed."""
-    cfg = engine.cfg
-    e = engine.ecfg
-    dparams, dcfg = engine._draft_model(engine.params)
     B = state.token0.shape[0]
     # host copies: every leaf of a donated state tuple must be a FRESH device
     # buffer per call (reusing one array would donate it on the first call)
@@ -80,6 +105,15 @@ def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
                for k, v in engine._state_tcaches(state).items()}
     dshapes = {k: (v.shape, v.dtype)
                for k, v in (("dk", state.dk), ("dv", state.dv))}
+    return _time_phases_impl(engine, B, lens_np, dfill_np, dpos_np, tshapes,
+                             dshapes, iters)
+
+
+def _time_phases_impl(engine, B, lens_np, dfill_np, dpos_np, tshapes, dshapes,
+                      iters) -> Dict[str, float]:
+    cfg = engine.cfg
+    e = engine.ecfg
+    dparams, dcfg = engine._draft_model(engine.params)
 
     def tok():
         return jnp.zeros((B, 1), jnp.int32)
