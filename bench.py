@@ -52,7 +52,7 @@ def main():
     p.add_argument("--model", default="llama-3.2-1b")
     p.add_argument("--B", type=int, default=32)
     p.add_argument("--prefix_len", type=int, default=8192)
-    p.add_argument("--gamma", type=int, default=4,
+    p.add_argument("--gamma", type=int, default=3,
                    help="speculation window; 0 = autotune (warmup run "
                         "estimates acceptance, phase timers + the analytic "
                         "throughput model pick gamma — engine/autotune.py)")
@@ -64,16 +64,22 @@ def main():
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None)
     p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
-    p.add_argument("--kv_quant", nargs="?", const="int8", default=None,
-                   choices=["int8", "int4"],
+    p.add_argument("--kv_quant", nargs="?", const="int8", default="int8",
+                   choices=["int8", "int4", "none"],
                    help="quantized target KV cache (int8 halves, int4 "
-                        "quarters decode HBM traffic)")
-    p.add_argument("--draft_quant", nargs="?", const="int8", default=None,
-                   choices=["int8", "int4"],
+                        "quarters decode HBM traffic; default int8 — greedy "
+                        "output is still exactly the bf16-cache-free greedy "
+                        "spec==AR contract, golden-tested)")
+    p.add_argument("--draft_quant", nargs="?", const="int8", default="int8",
+                   choices=["int8", "int4", "none"],
                    help="quantize the DRAFT pass's weight copy (draft decode "
                         "is weight-HBM-bound; output still exactly matches "
-                        "the full-precision target)")
+                        "the full-precision target; default int8)")
     args = p.parse_args()
+    if args.kv_quant == "none":
+        args.kv_quant = None
+    if args.draft_quant == "none":
+        args.draft_quant = None
 
     from magicdec_tpu.config import ModelConfig
     from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
