@@ -112,6 +112,8 @@ def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
     numerically.  Dense and QuantizedWeight leaves both fuse (quantized data
     and per-output scales concat along the output axis; group structure along
     the shared contraction axis is unchanged)."""
+    if not isinstance(params, dict) or "layers" not in params:
+        return params  # degenerate/partial pytrees (config-validation tests)
     L = dict(params["layers"])
     if L.get("wqkv") is not None or L.get("w13") is not None:
         return params
