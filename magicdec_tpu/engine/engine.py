@@ -140,13 +140,19 @@ class SpecEngine:
         self._eot = jnp.asarray(ecfg.eot_ids, dtype=jnp.int32)
         self._dq_params = None
         if ecfg.draft_quant and self._SELF_SPEC:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "draft_quant under a mesh needs quantized-weight "
-                    "shardings; run single-device or quantize offline")
             from magicdec_tpu import quantization as Q
+            if mesh is not None and Q._MATMUL_BACKEND != "jnp":
+                raise NotImplementedError(
+                    "draft_quant under a mesh requires the jnp quant-matmul "
+                    "backend (set_matmul_backend('jnp')): GSPMD partitions "
+                    "the fused dequant-dot like a dense one, but the pallas "
+                    "kernel is an opaque custom call")
             self._dq_params = Q.quantize_params(
                 params, bits=kv_quant_bits(ecfg.draft_quant))
+            if mesh is not None:
+                from magicdec_tpu.parallel import sharding as S
+                self._dq_params = S.shard_quant_params(
+                    self._dq_params, cfg, mesh, S.model_axes_of(mesh))
         self.mesh = mesh
         self._spec_shardings = None
         self._baseline_shardings = None
@@ -728,14 +734,18 @@ class LongSpecEngine(SpecEngine):
                  draft_cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
         if mesh is None and ecfg.fuse_exec:
             draft_params = M.fuse_exec_params(draft_params, draft_cfg)
+        self._dq_longspec_pending = False
         if ecfg.draft_quant:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "draft_quant under a mesh needs quantized-weight "
-                    "shardings; run single-device or quantize offline")
             from magicdec_tpu import quantization as Q
+            if mesh is not None and Q._MATMUL_BACKEND != "jnp":
+                raise NotImplementedError(
+                    "draft_quant under a mesh requires the jnp quant-matmul "
+                    "backend (set_matmul_backend('jnp')): GSPMD partitions "
+                    "the fused dequant-dot like a dense one, but the pallas "
+                    "kernel is an opaque custom call")
             draft_params = Q.quantize_params(
                 draft_params, bits=kv_quant_bits(ecfg.draft_quant))
+            self._dq_longspec_pending = mesh is not None
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         super().__init__(params, cfg, ecfg, mesh=mesh)
@@ -745,8 +755,10 @@ class LongSpecEngine(SpecEngine):
             from magicdec_tpu.parallel import sharding as S
             daxes = S.draft_axes_of(mesh)
             S.validate_mesh(draft_cfg, mesh, daxes)
-            self.draft_params = S.shard_params(draft_params, draft_cfg, mesh,
-                                               daxes)
+            shard = (S.shard_quant_params if self._dq_longspec_pending
+                     else S.shard_params)
+            self.draft_params = shard(self.draft_params, draft_cfg, mesh,
+                                      daxes)
 
     def _draft_cfg(self):
         return self.draft_cfg

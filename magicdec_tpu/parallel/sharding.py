@@ -144,6 +144,65 @@ def baseline_state_pspecs(axes=("model",), kv_quant: bool = False,
                          salt=b if sampled else None)
 
 
+def quant_param_pspecs(cfg: ModelConfig, params, axes=("model",)) -> Any:
+    """PartitionSpec pytree for a quantize_params() output: each
+    QuantizedWeight leaf gets (q, scale) specs derived from the dense spec —
+    column-sharded weights shard q and the per-output scale on the output
+    axis; row-sharded weights shard q's contraction axis, and the scale's
+    group axis shards with it when groups tile per-shard (else replicate)."""
+    from magicdec_tpu.quantization import QuantizedWeight, is_quantized
+
+    m = axes if len(axes) > 1 else axes[0]
+    dense = param_pspecs(cfg, axes)
+
+    def spec_for(w, dense_spec):
+        if not is_quantized(w):
+            return dense_spec
+        in_axis = w.q.ndim - 2  # [..., In(or In//2 packed), Out]
+        sharded_axes = tuple(a for a, s in enumerate(dense_spec) if s is not None)
+        if dense_spec[-1] is not None:  # column-sharded: Out sharded
+            q_spec = dense_spec
+            scale_spec = P(*([None] * (w.scale.ndim - 1)), m)
+        elif in_axis in sharded_axes:   # row-sharded: In sharded
+            q_spec = dense_spec
+            G = w.scale.shape[-2]
+            scale_spec = (P(*([None] * (w.scale.ndim - 2)), m, None)
+                          if G > 1 else P(*([None] * w.scale.ndim)))
+        else:
+            q_spec = dense_spec
+            scale_spec = P(*([None] * w.scale.ndim))
+        return QuantizedWeight(q=q_spec, scale=scale_spec, bits=w.bits,
+                               group_size=w.group_size)
+
+    layers = {k: spec_for(params["layers"][k], dense["layers"].get(k))
+              for k in params["layers"]}
+    out = dict(dense, layers=layers)
+    if params.get("lm_head") is not None:
+        out["lm_head"] = spec_for(params["lm_head"], dense["lm_head"])
+    return out
+
+
+def shard_quant_params(qparams, cfg: ModelConfig, mesh: Mesh, axes=None):
+    """device_put a quantize_params() pytree with TP shardings."""
+    from magicdec_tpu.quantization import QuantizedWeight
+
+    axes = axes or model_axes_of(mesh)
+    pspecs = quant_param_pspecs(cfg, qparams, axes)
+
+    def put(x, s):
+        if x is None:
+            return None
+        if isinstance(x, QuantizedWeight):
+            return QuantizedWeight(
+                q=jax.device_put(x.q, NamedSharding(mesh, s.q)),
+                scale=jax.device_put(x.scale, NamedSharding(mesh, s.scale)),
+                bits=x.bits, group_size=x.group_size)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    is_leaf = lambda x: x is None or isinstance(x, QuantizedWeight)
+    return jax.tree.map(put, qparams, pspecs, is_leaf=is_leaf)
+
+
 def _to_shardings(tree_pspecs, mesh: Mesh):
     return jax.tree.map(
         lambda ps: None if ps is None else NamedSharding(mesh, ps),
