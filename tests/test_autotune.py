@@ -67,3 +67,27 @@ def test_validation():
         AT.pick_gamma(0.5, 1.0, 0.0, (1, 2))
     with pytest.raises(ValueError):
         AT.pick_gamma(0.5, 1.0, 1.0, ())
+
+
+def test_time_phases_config_keys():
+    """Config-derived phase timing runs without a prefilled state and
+    returns the td/tv the autotuner consumes (CPU, tiny shapes)."""
+    import jax.numpy as jnp
+
+    from magicdec_tpu.config import tiny_config
+    from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
+    from magicdec_tpu.engine.profiling import time_phases_config
+    from tests.test_spec_parity import _random_params
+
+    cfg = tiny_config(vocab_size=128, n_layer=2, n_head=4, n_kv_head=2,
+                      dim=64, intermediate_size=128)
+    eng = SpecEngine(_random_params(cfg, seed=2), cfg,
+                     EngineConfig(mode="streamingllm", gamma=2,
+                                  draft_budget=33, max_seq_len=128,
+                                  chunk_size=16, window_size=8, sink_size=4,
+                                  max_gen=8, eot_ids=(-1,),
+                                  cache_dtype=jnp.float32))
+    ph = time_phases_config(eng, B=2, ctx=64, iters=2)
+    for k in ("draft_step_ms", "verify_step_ms", "baseline_step_ms",
+              "window_ms_est"):
+        assert k in ph and np.isfinite(ph[k])
