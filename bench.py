@@ -75,6 +75,9 @@ def main():
                    help="quantize the DRAFT pass's weight copy (draft decode "
                         "is weight-HBM-bound; output still exactly matches "
                         "the full-precision target; default int8)")
+    p.add_argument("--kv_scale", default="f32", choices=["f32", "bf16"],
+                   help="quantized-cache scale dtype (bf16 halves scale "
+                        "memory/traffic; spec==AR parity unaffected)")
     args = p.parse_args()
     if args.kv_quant == "none":
         args.kv_quant = None
@@ -112,6 +115,8 @@ def main():
             max_gen=args.max_gen, eot_ids=(-1,),
             cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
             kv_quant=args.kv_quant or False,
+            kv_scale_dtype=(jnp.bfloat16 if args.kv_scale == "bf16"
+                            else jnp.float32),
             draft_quant=args.draft_quant or False)
         return SpecEngine(params, cfg, ecfg)
 

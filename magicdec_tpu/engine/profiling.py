@@ -81,7 +81,8 @@ def time_phases_config(engine, B: int, ctx: int,
                "v": (shape, jnp.int8 if bits else e.cache_dtype)}
     if bits:
         sshape = (cfg.n_layer, B, cfg.n_kv_head, e.max_seq_len)
-        tshapes.update(ks=(sshape, jnp.float32), vs=(sshape, jnp.float32))
+        tshapes.update(ks=(sshape, e.kv_scale_dtype),
+                       vs=(sshape, e.kv_scale_dtype))
     dshape = engine._cache_shape(B, engine._draft_cap, dcfg)
     dshapes = {"dk": (dshape, e.cache_dtype), "dv": (dshape, e.cache_dtype)}
     lens_np = np.full((B,), ctx, np.int32)

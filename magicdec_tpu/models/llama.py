@@ -308,8 +308,9 @@ def _kv_rows(k, v, caches, prefix=""):
         qz = (kv_ops.quantize_kv_tokens_int4
               if kc.shape[3] == (Hkv // 2) * hd
               else kv_ops.quantize_kv_tokens)
-        kq, ksn = qz(k)
-        vq, vsn = qz(v)
+        sdt = caches[prefix + "ks"].dtype  # f32 or bf16 (kv_scale_dtype)
+        kq, ksn = qz(k, scale_dtype=sdt)
+        vq, vsn = qz(v, scale_dtype=sdt)
         return {"k": kq, "v": vq, "ks": ksn, "vs": vsn}
     B, T = k.shape[:2]
     return {"k": k.reshape(B, T, -1).astype(kc.dtype),

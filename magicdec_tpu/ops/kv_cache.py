@@ -53,13 +53,16 @@ def append_kv(k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     return k_cache, v_cache
 
 
-def quantize_kv_tokens(x: jnp.ndarray):
+def quantize_kv_tokens(x: jnp.ndarray, scale_dtype=jnp.float32):
     """Per-(token, kv-head) symmetric int8 quantization of new KV entries.
 
-    x: [B, T, H_kv, hd] -> (q int8 [B, T, H_kv*hd], scale f32 [B, H_kv, T]).
-    The scale layout keeps the cache-length axis minor so the [L, B, H_kv, S]
-    scale array tiles on TPU without lane padding and slices into the decode
-    kernel as a lane row vector (ops/pallas/decode_attention.py).
+    x: [B, T, H_kv, hd] -> (q int8 [B, T, H_kv*hd], scale [B, H_kv, T] in
+    ``scale_dtype``).  The scale layout keeps the cache-length axis minor so
+    the [L, B, H_kv, S] scale array tiles on TPU without lane padding and
+    slices into the decode kernel as a lane row vector
+    (ops/pallas/decode_attention.py).  ``scale_dtype=bf16`` halves scale
+    memory/traffic; q is computed against the ROUNDED scale so dequant is
+    exactly q * stored_scale in every path.
 
     No reference equivalent — the reference keeps bf16 caches; this is the
     TPU-native answer to decode being KV-bandwidth-bound (MagicDec §1,
@@ -68,8 +71,9 @@ def quantize_kv_tokens(x: jnp.ndarray):
     B, T = x.shape[:2]
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)                      # [B, T, H]
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    scale = (jnp.maximum(amax, 1e-8) / 127.0).astype(scale_dtype)
+    sf = scale.astype(jnp.float32)
+    q = jnp.clip(jnp.round(xf / sf[..., None]), -127, 127).astype(jnp.int8)
     return q.reshape(B, T, -1), jnp.swapaxes(scale, 1, 2)
 
 
@@ -152,17 +156,19 @@ def unpack_int4_heads(packed: jnp.ndarray, head_dim: int) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * Hp, head_dim)
 
 
-def quantize_kv_tokens_int4(x: jnp.ndarray):
+def quantize_kv_tokens_int4(x: jnp.ndarray, scale_dtype=jnp.float32):
     """Per-(token, kv-head) symmetric int4 quantization + head-pair packing.
 
-    x: [B, T, H, hd] -> (packed int8 [B, T, (H//2)*hd], scale f32 [B, H, T]).
-    Same scale layout as quantize_kv_tokens so kernels/shardings are shared.
+    x: [B, T, H, hd] -> (packed int8 [B, T, (H//2)*hd], scale [B, H, T] in
+    ``scale_dtype``).  Same scale layout as quantize_kv_tokens so
+    kernels/shardings are shared.
     """
     B, T = x.shape[:2]
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)                      # [B, T, H]
-    scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
+    scale = (jnp.maximum(amax, 1e-8) / 7.0).astype(scale_dtype)
+    sf = scale.astype(jnp.float32)
+    q = jnp.clip(jnp.round(xf / sf[..., None]), -7, 7).astype(jnp.int8)
     return pack_int4_heads(q), jnp.swapaxes(scale, 1, 2)
 
 

@@ -149,7 +149,10 @@ def _decode_kernel(layer_ref, lens_ref, q_ref, k_ref, v_ref, *rest,
 
 def _quant_online_update(h, s_raw, visible, ksc, vsc, v, scale,
                          m_scr, l_scr, acc_scr):
-    """Quantized online-softmax block: k scale on score columns, v scale on p."""
+    """Quantized online-softmax block: k scale on score columns, v scale on p.
+    Scale rows may stream as bf16 (kv_scale_dtype) — arithmetic stays f32."""
+    ksc = ksc.astype(jnp.float32)
+    vsc = vsc.astype(jnp.float32)
     s = s_raw * (ksc * scale)[None, :]
     s = jnp.where(visible, s, NEG_INF)
     m_prev = m_scr[h]

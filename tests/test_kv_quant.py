@@ -386,3 +386,45 @@ def test_flash_prefill_quant_fresh_matches_appended(bits):
              vs_new=vsn, block_s=64, block_r=C * G, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("kv", ["int8", "int4"])
+def test_spec_parity_with_bf16_scales(kv):
+    """kv_scale_dtype=bf16 (half the scale memory/traffic): greedy spec must
+    still reproduce greedy AR on the same quantized cache, and the stored
+    scales must actually be bf16."""
+    B, prefix, max_gen = 2, 96, 16
+    engine = SpecEngine(PARAMS, CFG, _ecfg("streamingllm", kv_quant=kv,
+                                           kv_scale_dtype=jnp.bfloat16,
+                                           max_gen=max_gen))
+    prompt = _prompt(B, prefix, seed=13)
+
+    bst = engine.encode_baseline(prompt)
+    assert bst.ks.dtype == jnp.bfloat16
+    _, bstats = engine.generate_baseline(bst, max_new=max_gen)
+    ref = np.asarray(bstats["output"][:, :max_gen])
+
+    st = engine.encode(prompt)
+    assert st.ks.dtype == jnp.bfloat16
+    st, stats = engine.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= max_gen
+    for b in range(B):
+        m = min(int(n[b]), max_gen)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
+
+
+def test_quantize_tokens_bf16_scale_roundtrip():
+    """q is computed against the ROUNDED bf16 scale, so q * stored_scale is
+    the dequant in every path (fresh operands == appended cache)."""
+    from magicdec_tpu.ops import kv_cache as kv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 4, 8), jnp.float32)
+    q, s = kv.quantize_kv_tokens(x, scale_dtype=jnp.bfloat16)
+    assert s.dtype == jnp.bfloat16
+    deq = kv.dequant_kv(q, s, 8)
+    err = np.abs(np.asarray(deq).reshape(2, 3, 4, 8) - np.asarray(x))
+    amax = np.abs(np.asarray(x)).max(-1, keepdims=True)
+    assert (err <= amax / 127 * 1.01 + 1e-6).all()
