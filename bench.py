@@ -78,6 +78,9 @@ def main():
     p.add_argument("--kv_scale", default="f32", choices=["f32", "bf16"],
                    help="quantized-cache scale dtype (bf16 halves scale "
                         "memory/traffic; spec==AR parity unaffected)")
+    p.add_argument("--draft_head", default="quant", choices=["quant", "shared"],
+                   help="shared: the quantized draft copy reuses the target's "
+                        "bf16 lm_head buffer (saves ~0.5GB on 1B shapes)")
     args = p.parse_args()
     if args.kv_quant == "none":
         args.kv_quant = None
@@ -117,7 +120,8 @@ def main():
             kv_quant=args.kv_quant or False,
             kv_scale_dtype=(jnp.bfloat16 if args.kv_scale == "bf16"
                             else jnp.float32),
-            draft_quant=args.draft_quant or False)
+            draft_quant=args.draft_quant or False,
+            draft_quant_head=args.draft_head == "quant")
         return SpecEngine(params, cfg, ecfg)
 
     gamma = args.gamma or 4  # autotune warmup gamma

@@ -205,3 +205,31 @@ def test_draft_quant_longspec_matches_full_precision_greedy():
     for b in range(2):
         m = min(int(n[b]), 14)
         np.testing.assert_array_equal(out[b, :m], ref[b, :m])
+
+
+def test_draft_quant_shared_head_matches_full_precision_greedy():
+    """draft_quant_head=False: the draft copy shares the target's lm_head
+    BUFFER (no extra memory) and the greedy contract still holds."""
+    base = dict(mode="streamingllm", gamma=2, draft_budget=33, max_seq_len=256,
+                chunk_size=16, window_size=8, sink_size=4, max_gen=14,
+                eot_ids=(-1,), cache_dtype=jnp.float32)
+    fp = SpecEngine(PARAMS, CFG, EngineConfig(**base))
+    prompt = _prompt(2, 48, seed=21)
+    bst = fp.encode_baseline(prompt)
+    _, bstats = fp.generate_baseline(bst, max_new=14)
+    ref = np.asarray(bstats["output"])
+
+    dq = SpecEngine(PARAMS, CFG,
+                    EngineConfig(draft_quant="int8", draft_quant_head=False,
+                                 **base))
+    assert not Q.is_quantized(dq._dq_params["lm_head"])
+    assert dq._dq_params["lm_head"] is dq.params["lm_head"]  # shared buffer
+    assert Q.is_quantized(dq._dq_params["layers"]["wqkv"])
+    st = dq.encode(prompt)
+    _, stats = dq.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= 14
+    for b in range(2):
+        m = min(int(n[b]), 14)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
