@@ -54,10 +54,24 @@ def main():
     prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (args.B, args.prefix)),
                          jnp.int32)
 
+    def mem(tag):
+        try:
+            import jax
+            s = jax.local_devices()[0].memory_stats() or {}
+            used = s.get("bytes_in_use", 0) / 2**30
+            peak = s.get("peak_bytes_in_use", 0) / 2**30
+            lim = s.get("bytes_limit", 0) / 2**30
+            print(f"[probe] mem[{tag}] in_use={used:.2f}GiB "
+                  f"peak={peak:.2f}GiB limit={lim:.2f}GiB", flush=True)
+        except Exception as e:
+            print(f"[probe] mem[{tag}] unavailable: {e}", flush=True)
+
+    mem("start")
     t0 = time.perf_counter()
     st = eng.encode_baseline(prompt)
     print(f"[probe] baseline encode ok tok0={int(np.asarray(st.token0)[0])} "
           f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    mem("baseline_encode")
     t0 = time.perf_counter()
     st, stats = eng.generate_baseline(st, max_new=args.max_gen)
     gen = int(np.asarray(stats["gen_tokens"]).sum())
@@ -69,6 +83,7 @@ def main():
     st = eng.encode(prompt)
     print(f"[probe] spec encode ok tok0={int(np.asarray(st.token0)[0])} "
           f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    mem("spec_encode")
     t0 = time.perf_counter()
     st, stats = eng.generate(st)
     gen = int(np.asarray(stats["gen_tokens"]).sum())
