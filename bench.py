@@ -81,7 +81,13 @@ def main():
     p.add_argument("--draft_head", default="quant", choices=["quant", "shared"],
                    help="shared: the quantized draft copy reuses the target's "
                         "bf16 lm_head buffer (saves ~0.5GB on 1B shapes)")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="cpu: force the host backend (smoke runs; the "
+                        "JAX_PLATFORMS env var is re-pinned by sitecustomize, "
+                        "only jax.config.update works)")
     args = p.parse_args()
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     if args.kv_quant == "none":
         args.kv_quant = None
     if args.draft_quant == "none":

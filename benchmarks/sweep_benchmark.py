@@ -1,0 +1,94 @@
+"""Reproduce the README speedup ladder: run bench.py across the measured
+configurations (one fresh process per config — a hard device OOM kills the
+worker, and a clean process gives every config its full HBM), collect the
+JSON lines, and emit a markdown table + JSONL.
+
+This is the counterpart of the reference's published benchmark tables
+(index.html tables 1-2, BASELINE.md).
+
+Usage (real TPU; ~20-30 min per row):
+    python benchmarks/sweep_benchmark.py [--set quick|ladder] [--out sweep.jsonl]
+CPU smoke:
+    python benchmarks/sweep_benchmark.py --set smoke
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BENCH = os.path.join(HERE, "..", "bench.py")
+
+LADDER = [
+    # (label, bench args)
+    ("8k/B32 bf16", ["--kv_quant", "none", "--draft_quant", "none",
+                     "--gamma", "3"]),
+    ("8k/B32 int8+dq8", ["--gamma", "3"]),
+    ("8k/B48 int4+dq8", ["--kv_quant", "int4", "--B", "48", "--gamma", "3"]),
+    ("16k/B32 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "16384",
+                          "--gamma", "4"]),
+    ("24k/B24 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "24576",
+                          "--B", "24", "--gamma", "4", "--kv_scale", "bf16"]),
+    ("32k/B20 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "32768",
+                          "--B", "20", "--gamma", "4", "--kv_scale", "bf16",
+                          "--draft_head", "shared"]),
+]
+QUICK = LADDER[1:2]
+SMOKE = [("smoke", ["--platform", "cpu", "--model", "llama-68m", "--B", "2",
+                    "--prefix_len", "512", "--max_gen", "12", "--gamma", "2",
+                    "--attn_backend", "jnp", "--quant_backend", "jnp",
+                    "--draft_budget", "257"])]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--set", default="ladder", choices=["ladder", "quick", "smoke"])
+    p.add_argument("--out", default=None, help="JSONL output path")
+    p.add_argument("--timeout", type=int, default=3600, help="per-config s")
+    args = p.parse_args()
+    configs = {"ladder": LADDER, "quick": QUICK, "smoke": SMOKE}[args.set]
+
+    rows = []
+    for label, extra in configs:
+        cmd = [sys.executable, BENCH] + extra
+        print(f"[sweep] {label}: {' '.join(cmd)}", file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            print(f"[sweep] {label}: TIMEOUT", file=sys.stderr)
+            rows.append({"label": label, "error": "timeout"})
+            continue
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode != 0 or line is None:
+            tail = (r.stderr or r.stdout).splitlines()[-3:]
+            print(f"[sweep] {label}: FAILED rc={r.returncode} {tail}",
+                  file=sys.stderr)
+            rows.append({"label": label, "error": f"rc={r.returncode}"})
+            continue
+        rec = json.loads(line)
+        rec["label"] = label
+        rows.append(rec)
+        print(f"[sweep] {label}: {rec['value']} {rec['unit']} "
+              f"({rec['vs_baseline']}x)", file=sys.stderr, flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for rec in rows:
+                f.write(json.dumps(rec) + "\n")
+
+    print("\n| Config | Spec tok/s | Speedup vs AR |")
+    print("|---|---|---|")
+    for rec in rows:
+        if "error" in rec:
+            print(f"| {rec['label']} | — | {rec['error']} |")
+        else:
+            print(f"| {rec['label']} | {rec['value']:.0f} | "
+                  f"{rec['vs_baseline']:.2f}× |")
+
+
+if __name__ == "__main__":
+    main()
