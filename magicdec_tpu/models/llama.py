@@ -326,6 +326,18 @@ def _append_rows(caches, rows, write_pos, prefix="", backend="jnp"):
     attention custom calls read the same buffer within the step, and separate
     per-array calls repeat the (L, B, blocks) grid of tiny DMAs 2-4x."""
     if backend == "flash":
+        import os
+        if os.environ.get("MAGICDEC_PER_ARRAY_APPEND"):  # perf A/B switch
+            out = {prefix + "k": kv_ops.append_rows_inplace(
+                       caches[prefix + "k"], rows["k"], write_pos),
+                   prefix + "v": kv_ops.append_rows_inplace(
+                       caches[prefix + "v"], rows["v"], write_pos)}
+            if "ks" in rows:
+                out[prefix + "ks"] = kv_ops.append_scale_rows_inplace(
+                    caches[prefix + "ks"], rows["ks"], write_pos)
+                out[prefix + "vs"] = kv_ops.append_scale_rows_inplace(
+                    caches[prefix + "vs"], rows["vs"], write_pos)
+            return {**caches, **out}
         quant = "ks" in rows
         out_arrays = kv_ops.append_all_rows_inplace(
             caches[prefix + "k"], caches[prefix + "v"],
