@@ -39,6 +39,7 @@ def main():
                         max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
                         temperature=args.temperature, top_p=args.top_p,
                         attn_backend=args.attn_backend,
+                        prefill_chunk_size=args.prefill_chunk,
                         kv_quant=args.kv_quant or False)
     engine = SpecEngine(params, cfg, ecfg, mesh=mesh)
 

@@ -50,6 +50,9 @@ def add_common_args(p: argparse.ArgumentParser):
                         "standalone draft).  Draft decode is weight-HBM-"
                         "bound, and the output still exactly matches the "
                         "full-precision target's")
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help="target prefill chunk size (0 = EngineConfig."
+                        "chunk_size; larger chunks feed the MXU better)")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="cpu: force the host backend (smoke runs). The "
                         "JAX_PLATFORMS env var is NOT honored in this "

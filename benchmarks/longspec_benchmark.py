@@ -51,6 +51,7 @@ def main():
                         eot_ids=common.eot_ids_for(args, cfg),
                         temperature=args.temperature, top_p=args.top_p,
                         attn_backend=args.attn_backend,
+                        prefill_chunk_size=args.prefill_chunk,
                         kv_quant=args.kv_quant or False,
                         draft_quant=args.draft_quant or False)
     engine = LongSpecEngine(params, cfg, dparams, dcfg, ecfg, mesh=mesh)

@@ -342,7 +342,7 @@ class SpecEngine:
                 (caches, lens), last_hidden = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_hidden[-1]
             if rem:
-                x, caches = M.forward_target(params, cfg, tokens[:, n_full * C:],
+                x, caches = M.forward_target(params, cfg, tokens[:, n_full * Cp:],
                                              lens, caches, head="none",
                                              backend=e.attn_backend)
                 lens = lens + rem
@@ -820,7 +820,7 @@ class LongSpecEngine(SpecEngine):
                 (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
                 x_last = last_h[-1]
             if rem:
-                x, caches = M.forward_target(params, mcfg, tokens[:, n_full * C:],
+                x, caches = M.forward_target(params, mcfg, tokens[:, n_full * Cp:],
                                              lens, caches, head="none",
                                              backend=e.attn_backend)
                 lens = lens + rem
