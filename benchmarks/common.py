@@ -65,6 +65,20 @@ def apply_platform(args):
     """Call first thing in every driver main(), before any jax computation."""
     if getattr(args, "platform", "default") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        mo = getattr(args, "model_parallel_outer", 0)
+        mi = getattr(args, "model_parallel_inner", 0)
+        model = mo * mi if (mo and mi) else getattr(args, "model_parallel", 1)
+        n = getattr(args, "data_parallel", 1) * model
+        if n > 1:
+            # virtual CPU devices for mesh smoke runs; effective only if the
+            # backend has not initialized yet (same trick as tests/conftest)
+            import os
+
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={n}"
+                ).strip()
 
 
 def sampling_rng(args):

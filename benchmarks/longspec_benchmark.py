@@ -3,9 +3,11 @@ longspec_benchmark.py unified).
 
 --draft_budget -1 selects the uncompressed draft cache (classic spec decode,
 reference SnapKV/backend_draft.py:15-21); otherwise --mode picks the
-compression scheme.  The reference's draft sub-mesh (--draft_rank_group) maps
-to running the draft TP over the same single-controller mesh; a dedicated
-draft sub-mesh is a planned extension.
+compression scheme.  The reference's draft sub-mesh (--draft_rank_group,
+tests/SnapKV/longspec_benchmark.py:99-105: target TP over 8 ranks, draft TP
+over a 4-rank subgroup) maps to --model_parallel_outer/--model_parallel_inner:
+the target is tensor-parallel over outer*inner devices, the draft over the
+inner axis only (parallel/sharding.make_submesh_mesh).
 
 Example (reference README.md:69 shape):
   python benchmarks/longspec_benchmark.py --model llama-3.1-8b \
@@ -34,6 +36,11 @@ def main():
     p.add_argument("--max_gen", type=int, default=80)
     p.add_argument("--num_batches", type=int, default=4)
     p.add_argument("--warmup_batches", type=int, default=2)
+    p.add_argument("--model_parallel_outer", type=int, default=0,
+                   help="with --model_parallel_inner: target TP spans "
+                        "outer*inner devices, the standalone draft only the "
+                        "inner axis (reference --draft_rank_group)")
+    p.add_argument("--model_parallel_inner", type=int, default=0)
     args = p.parse_args()
     common.apply_platform(args)
 
@@ -45,7 +52,14 @@ def main():
     dparams, dcfg = common.load_params_and_config(args.draft_model)
     mode = "full" if args.draft_budget == -1 else args.mode
     budget = 257 if args.draft_budget == -1 else args.draft_budget
-    mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
+    if args.model_parallel_outer and args.model_parallel_inner:
+        from magicdec_tpu.parallel.sharding import make_submesh_mesh
+
+        mesh = make_submesh_mesh(data=args.data_parallel,
+                                 model_outer=args.model_parallel_outer,
+                                 model_inner=args.model_parallel_inner)
+    else:
+        mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
     ecfg = EngineConfig(mode=mode, gamma=args.gamma, draft_budget=budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,
                         eot_ids=common.eot_ids_for(args, cfg),

@@ -170,11 +170,29 @@ class SpecEngine:
         self.mesh = mesh
         self._spec_shardings = None
         self._baseline_shardings = None
+        # the backend threaded to target/draft forward passes: the plain
+        # string on one device, a FlashShard (shard_map-wrapped kernels,
+        # ops/shard.py) per cache sharding under a mesh
+        self._backend_t = ecfg.attn_backend
+        self._backend_d = ecfg.attn_backend
         if mesh is not None:
             from magicdec_tpu.parallel import sharding as S
             axes = S.model_axes_of(mesh)
             daxes = self._draft_model_axes(mesh)
             S.validate_mesh(cfg, mesh, axes)
+            if kv_quant_bits(ecfg.kv_quant) == 4:
+                model = 1
+                for a in axes:
+                    model *= mesh.shape[a]
+                if (cfg.n_kv_head // model) % 2:
+                    raise ValueError(
+                        "kv_quant='int4' packs adjacent kv-head pairs: each "
+                        f"model shard needs an even local head count, got "
+                        f"{cfg.n_kv_head} heads / {model} shards")
+            if ecfg.attn_backend == "flash":
+                from magicdec_tpu.ops.shard import FlashShard
+                self._backend_t = FlashShard(mesh, tuple(axes))
+                self._backend_d = FlashShard(mesh, tuple(daxes))
             self.params = S.shard_params(params, cfg, mesh, axes)
             sampled = ecfg.temperature > 0
             self._spec_shardings = S._to_shardings(
@@ -336,7 +354,8 @@ class SpecEngine:
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, cfg, chunk, lens, caches,
-                                                 head="none", backend=e.attn_backend)
+                                                 head="none",
+                                                 backend=self._backend_t)
                     return (caches, lens + Cp), x[:, -1]
 
                 (caches, lens), last_hidden = jax.lax.scan(body, (caches, lens), xs)
@@ -344,7 +363,7 @@ class SpecEngine:
             if rem:
                 x, caches = M.forward_target(params, cfg, tokens[:, n_full * Cp:],
                                              lens, caches, head="none",
-                                             backend=e.attn_backend)
+                                             backend=self._backend_t)
                 lens = lens + rem
                 x_last = x[:, -1]
             return caches, lens, x_last
@@ -364,7 +383,7 @@ class SpecEngine:
                     params, cfg, tokens[:, prefix - e.window_size:], lens, caches,
                     ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
                     kernel_size=e.kernel_size, pooling=e.pooling,
-                    backend=e.attn_backend, head="none")
+                    backend=self._backend_t, head="none")
                 lens = lens + e.window_size
                 token0 = self._head_token(params, x[:, -1], rng, salt)
                 return self._fresh_state(caches, lens, token0,
@@ -547,7 +566,7 @@ class SpecEngine:
             dk, dv, fill, pos, tok, sidx = carry
             nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill, pos,
                                       {"dk": dk, "dv": dv},
-                                      backend=e.attn_backend,
+                                      backend=self._backend_d,
                                       sample=self._sample_spec(st, sidx[:, None]))
             nxt = nxt[:, 0]
             return (dc["dk"], dc["dv"], fill + 1, pos + 1, nxt, sidx + 1), nxt
@@ -563,7 +582,7 @@ class SpecEngine:
         idx_v = n0[:, None] + 1 + jnp.arange(e.gamma + 1, dtype=jnp.int32)[None]
         target_tokens, caches = M.forward_verify_snapkv(
             params, cfg, tokens_buffer, st.target_lens, f0, caches,
-            backend=e.attn_backend, sample=self._sample_spec(st, idx_v))
+            backend=self._backend_t, sample=self._sample_spec(st, idx_v))
 
         return self._finish_window(
             st, tokens_buffer, target_tokens, caches,
@@ -604,7 +623,7 @@ class SpecEngine:
         idx2 = (n0 + 2 - st.db_update)[:, None] + jnp.arange(2, dtype=jnp.int32)[None]
         nxt2, dcaches = M.forward_draft(dparams, dcfg, st.db_tokens, f0,
                                         f0 + delta, dcaches,
-                                        backend=e.attn_backend,
+                                        backend=self._backend_d,
                                         sample=self._sample_spec(st, idx2))
         tok1 = jnp.take_along_axis(nxt2, (st.db_update - 1)[:, None], axis=1)[:, 0]
         fill = f0 + st.db_update
@@ -613,7 +632,7 @@ class SpecEngine:
             dk, dv, fill, tok, sidx = carry
             nxt, dc = M.forward_draft(dparams, dcfg, tok[:, None], fill,
                                       fill + delta, {"dk": dk, "dv": dv},
-                                      backend=e.attn_backend,
+                                      backend=self._backend_d,
                                       sample=self._sample_spec(st, sidx[:, None]))
             nxt = nxt[:, 0]
             return (dc["dk"], dc["dv"], fill + 1, nxt, sidx + 1), nxt
@@ -629,7 +648,7 @@ class SpecEngine:
         idx_v = n0[:, None] + 1 + jnp.arange(e.gamma + 1, dtype=jnp.int32)[None]
         target_tokens, caches = M.forward_target(
             params, cfg, tokens_buffer, st.target_lens, caches,
-            backend=e.attn_backend, sample=self._sample_spec(st, idx_v))
+            backend=self._backend_t, sample=self._sample_spec(st, idx_v))
         caches = {**caches, "dk": dk, "dv": dv}
 
         gamma = e.gamma
@@ -666,7 +685,8 @@ class SpecEngine:
                 def body(carry, chunk):
                     caches, lens = carry
                     x, caches = M.forward_target(params, cfg, chunk, lens, caches,
-                                                 head="none", backend=e.attn_backend)
+                                                 head="none",
+                                                 backend=self._backend_t)
                     return (caches, lens + C), x[:, -1]
 
                 (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
@@ -674,7 +694,7 @@ class SpecEngine:
             if rem:
                 x, caches = M.forward_target(params, cfg, tokens[:, n_full * C:],
                                              lens, caches, head="none",
-                                             backend=e.attn_backend)
+                                             backend=self._backend_t)
                 lens = lens + rem
                 x_last = x[:, -1]
             token0 = self._head_token(params, x_last, rng, salt)
@@ -706,7 +726,7 @@ class SpecEngine:
                 # the produced token is the candidate for output slot n
                 nxt, caches = M.forward_target(params, cfg, tok[:, None], lens,
                                                caches,
-                                               backend=self.ecfg.attn_backend,
+                                               backend=self._backend_t,
                                                sample=self._sample_spec(st, n[:, None]))
                 nxt = nxt[:, 0]
                 out = spec_ops.write_at(out, n, nxt)
@@ -802,7 +822,7 @@ class LongSpecEngine(SpecEngine):
         Cp = e.prefill_chunk_size or e.chunk_size
         assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len
 
-        def chunked_prefill(params, mcfg, tokens, caches, *, head_last=False):
+        def chunked_prefill(params, mcfg, tokens, caches, *, backend):
             P = tokens.shape[1]
             n_full, rem = P // Cp, P % Cp
             lens = jnp.zeros((B,), jnp.int32)
@@ -814,7 +834,7 @@ class LongSpecEngine(SpecEngine):
                     caches, lens = carry
                     x, caches = M.forward_target(params, mcfg, chunk, lens,
                                                  caches, head="none",
-                                                 backend=e.attn_backend)
+                                                 backend=backend)
                     return (caches, lens + Cp), x[:, -1]
 
                 (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
@@ -822,7 +842,7 @@ class LongSpecEngine(SpecEngine):
             if rem:
                 x, caches = M.forward_target(params, mcfg, tokens[:, n_full * Cp:],
                                              lens, caches, head="none",
-                                             backend=e.attn_backend)
+                                             backend=backend)
                 lens = lens + rem
                 x_last = x[:, -1]
             return caches, lens, x_last
@@ -831,7 +851,8 @@ class LongSpecEngine(SpecEngine):
             e_ = e
             dt = e.cache_dtype
             caches, lens, x_last = chunked_prefill(params, cfg, tokens,
-                                                   self._zero_target_caches(B))
+                                                   self._zero_target_caches(B),
+                                                   backend=self._backend_t)
             token0 = self._head_token(params, x_last, rng, salt)
 
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
@@ -842,7 +863,8 @@ class LongSpecEngine(SpecEngine):
 
             if e_.mode == "full":
                 dcaches, dlens, _ = chunked_prefill(draft_params, dcfg, tokens,
-                                                    {"k": dk, "v": dv})
+                                                    {"k": dk, "v": dv},
+                                                    backend=self._backend_d)
                 dcaches = {"dk": dcaches["k"], "dv": dcaches["v"]}
                 draft_fill = dlens
                 draft_pos = dlens
@@ -878,13 +900,13 @@ class LongSpecEngine(SpecEngine):
                 fv = jnp.zeros_like(fk)
                 full, flens, _ = chunked_prefill(
                     draft_params, dcfg, tokens[:, :-e_.window_size],
-                    {"k": fk, "v": fv})
+                    {"k": fk, "v": fv}, backend=self._backend_d)
                 full = {**full, "dk": dk, "dv": dv}
                 _, full = M.forward_prefill_snapkv_last(
                     draft_params, dcfg, tokens[:, prefix - e_.window_size:],
                     flens, full, ctx_len=prefix, window=e_.window_size,
                     budget=e_.draft_budget, kernel_size=e_.kernel_size,
-                    pooling=e_.pooling, backend=e_.attn_backend)
+                    pooling=e_.pooling, backend=self._backend_d)
                 dcaches = {"dk": full["dk"], "dv": full["dv"]}
                 draft_fill = jnp.full((B,), e_.draft_budget, jnp.int32)
                 draft_pos = lens  # real positions

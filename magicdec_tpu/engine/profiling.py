@@ -128,19 +128,19 @@ def _time_phases_impl(engine, B, lens_np, dfill_np, dpos_np, tshapes, dshapes,
     def draft_step(st, dparams):
         tok, fill, pos, caches = st
         nxt, caches = M.forward_draft(dparams, dcfg, tok, fill, pos, caches,
-                                      backend=e.attn_backend)
+                                      backend=engine._backend_d)
         return nxt, fill + 1, pos + 1, caches
 
     def verify_step(st, params):
         buf, lens, caches = st
         out, caches = M.forward_target(params, cfg, buf, lens, caches,
-                                       backend=e.attn_backend)
+                                       backend=engine._backend_t)
         return jnp.concatenate([out[:, :1], out[:, :-1]], 1), lens, caches
 
     def baseline_step(st, params):
         tok, lens, caches = st
         nxt, caches = M.forward_target(params, cfg, tok, lens, caches,
-                                       backend=e.attn_backend)
+                                       backend=engine._backend_t)
         return nxt, lens, caches
 
     results = {

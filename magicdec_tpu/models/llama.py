@@ -324,26 +324,53 @@ def _append_rows(caches, rows, write_pos, prefix="", backend="jnp"):
     cache arrays (kv_ops.append_all_rows_inplace) — a jnp scatter forces XLA
     to insert a defensive full-cache copy (time AND peak-memory) because the
     attention custom calls read the same buffer within the step, and separate
-    per-array calls repeat the (L, B, blocks) grid of tiny DMAs 2-4x."""
+    per-array calls repeat the (L, B, blocks) grid of tiny DMAs 2-4x.
+    Under a mesh (backend = ops.shard.FlashShard) the same aliased RMW runs
+    per shard via shard_map."""
+    from magicdec_tpu.ops.shard import FlashShard
+
+    if isinstance(backend, FlashShard):
+        from magicdec_tpu.ops import shard as shard_ops
+
+        quant = "ks" in rows
+        out_arrays = shard_ops.append_all_rows_sharded(
+            backend, caches[prefix + "k"], caches[prefix + "v"],
+            rows["k"], rows["v"], write_pos,
+            *((caches[prefix + "ks"], caches[prefix + "vs"],
+               rows["ks"], rows["vs"]) if quant else ()))
+        out = {prefix + "k": out_arrays[0], prefix + "v": out_arrays[1]}
+        if quant:
+            out[prefix + "ks"] = out_arrays[2]
+            out[prefix + "vs"] = out_arrays[3]
+        return {**caches, **out}
     if backend == "flash":
         import os
+
+        from magicdec_tpu.ops import pallas as PL
+
+        interp = PL.use_interpret()
         if os.environ.get("MAGICDEC_PER_ARRAY_APPEND"):  # perf A/B switch
             out = {prefix + "k": kv_ops.append_rows_inplace(
-                       caches[prefix + "k"], rows["k"], write_pos),
+                       caches[prefix + "k"], rows["k"], write_pos,
+                       interpret=interp),
                    prefix + "v": kv_ops.append_rows_inplace(
-                       caches[prefix + "v"], rows["v"], write_pos)}
+                       caches[prefix + "v"], rows["v"], write_pos,
+                       interpret=interp)}
             if "ks" in rows:
                 out[prefix + "ks"] = kv_ops.append_scale_rows_inplace(
-                    caches[prefix + "ks"], rows["ks"], write_pos)
+                    caches[prefix + "ks"], rows["ks"], write_pos,
+                    interpret=interp)
                 out[prefix + "vs"] = kv_ops.append_scale_rows_inplace(
-                    caches[prefix + "vs"], rows["vs"], write_pos)
+                    caches[prefix + "vs"], rows["vs"], write_pos,
+                    interpret=interp)
             return {**caches, **out}
         quant = "ks" in rows
         out_arrays = kv_ops.append_all_rows_inplace(
             caches[prefix + "k"], caches[prefix + "v"],
             rows["k"], rows["v"], write_pos,
             *((caches[prefix + "ks"], caches[prefix + "vs"],
-               rows["ks"], rows["vs"]) if quant else (None,) * 4))
+               rows["ks"], rows["vs"]) if quant else (None,) * 4),
+            interpret=interp)
         out = {prefix + "k": out_arrays[0], prefix + "v": out_arrays[1]}
         if quant:
             out[prefix + "ks"] = out_arrays[2]

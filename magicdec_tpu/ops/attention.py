@@ -15,7 +15,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from magicdec_tpu.ops.shard import FlashShard, backend_kind
+
 NEG_INF = -1e30
+
+
+def _interp() -> bool:
+    from magicdec_tpu.ops import pallas as PL
+    return PL.use_interpret()
 
 
 def attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
@@ -86,7 +93,15 @@ def _pick_block_s(S: int, lane_bytes: int) -> int | None:
     B=32/S=8192, T=5: bf16 1.38 -> 0.62 ms/layer and int8 0.99 -> 0.42 ms/layer
     going 512 -> 2048; XLA's fused path is 0.74/3.7 ms).  2 MiB/block keeps
     double-buffered k+v+q+out inside the 16 MiB scoped-VMEM limit.
+
+    When the WHOLE cache row fits the block budget (draft caches are
+    budget-sized, e.g. 640 slots), use one S-row block: 640 only tiles by
+    128, and the (B, 5)-step grid of [GT, hd]x[hd, 128] dots left the draft
+    attend at 7x its bandwidth roofline — 6.0 of the 7.0 ms draft step at
+    llama-3.2-1b B=32 budget=513 (scripts/profile_draft.py, v5e).
     """
+    if S % 8 == 0 and S * lane_bytes <= 2 * 1024 * 1024:
+        return S
     for bs in (2048, 1024, 512, 256, 128):
         if S % bs == 0 and bs * lane_bytes <= 2 * 1024 * 1024:
             return bs
@@ -113,7 +128,7 @@ def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
                 fn = (DA.flash_decode_attend_quant4 if packed4
                       else DA.flash_decode_attend_quant)
                 return fn(q, k_cache, k_scale, v_cache, v_scale, base_lens,
-                          block_s=block_s)
+                          block_s=block_s, interpret=_interp())
         else:
             # prefill: MXU-bound with large row blocks; keep KV blocks small
             # so q/out/score/unpack buffers fit scoped VMEM
@@ -124,7 +139,8 @@ def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
                 fn = (PA.flash_prefill_attend_quant4 if packed4
                       else PA.flash_prefill_attend_quant)
                 return fn(q, k_cache, k_scale, v_cache, v_scale, base_lens,
-                          block_s=block_s, block_r=min(512, G * T))
+                          block_s=block_s, block_r=min(512, G * T),
+                          interpret=_interp())
     return attend_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens,
                         causal=True)
 
@@ -145,7 +161,7 @@ def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             if block_s is not None:
                 from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
                 return flash_decode_attend(q, k_cache, v_cache, base_lens,
-                                           block_s=block_s)
+                                           block_s=block_s, interpret=_interp())
         else:
             G = q.shape[2] * q.shape[3] // k_cache.shape[2]
             block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
@@ -153,7 +169,8 @@ def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                 from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
                 return flash_prefill_attend(q, k_cache, v_cache, base_lens,
                                             block_s=block_s,
-                                            block_r=min(512, G * T))
+                                            block_r=min(512, G * T),
+                                            interpret=_interp())
     return attend(q, k_cache, v_cache, base_lens, causal=True)
 
 
@@ -200,7 +217,17 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
     {'k','v' int8/int4-packed rows, 'ks','vs' f32 [B,Hkv,T]} — the SAME
     quantized values that get appended, so numerics are bit-identical to
     attending over the appended cache.
+
+    ``backend`` may be an ops.shard.FlashShard: the same flash path runs
+    per-shard under shard_map (batch on the data axis, whole kv heads on the
+    model axes) — the TPU-native equivalent of the reference running
+    flashinfer under tensor parallelism (Engine/tp.py:202-207).
     """
+    if isinstance(backend, FlashShard):
+        from magicdec_tpu.ops import shard as shard_ops
+        return shard_ops.attend_cache_sharded(backend, q, caches, base_lens,
+                                              layer=layer, prefix=prefix,
+                                              fresh=fresh)
     k_cache = caches[prefix + "k"]
     v_cache = caches[prefix + "v"]
     quant = (prefix + "ks") in caches and caches.get(prefix + "ks") is not None
@@ -225,7 +252,7 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                           else DA.flash_decode_attend_quant)
                     return fn(q, k_cache, k_scale, v_cache, v_scale,
                               base_lens, layer=layer, block_s=block_s,
-                              **fresh_kw)
+                              interpret=_interp(), **fresh_kw)
             else:
                 G = q.shape[2] // Hkv
                 block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
@@ -235,7 +262,8 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                           else PA.flash_prefill_attend_quant)
                     return fn(q, k_cache, k_scale, v_cache, v_scale,
                               base_lens, layer=layer, block_s=block_s,
-                              block_r=min(512, G * T), **fresh_kw)
+                              block_r=min(512, G * T), interpret=_interp(),
+                              **fresh_kw)
         kc = _slice_layer(k_cache, layer)
         vc = _slice_layer(v_cache, layer)
         ks = _slice_layer(k_scale, layer)
@@ -256,7 +284,7 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                 from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
                 return flash_decode_attend(q, k_cache, v_cache, base_lens,
                                            layer=layer, block_s=block_s,
-                                           **fresh_kw)
+                                           interpret=_interp(), **fresh_kw)
         else:
             G = q.shape[2] * hd // k_cache.shape[3]
             block_s = 512 if S % 512 == 0 else (128 if S % 128 == 0 else None)
@@ -265,7 +293,7 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                 return flash_prefill_attend(q, k_cache, v_cache, base_lens,
                                             layer=layer, block_s=block_s,
                                             block_r=min(512, G * T),
-                                            **fresh_kw)
+                                            interpret=_interp(), **fresh_kw)
     kc = _slice_layer(k_cache, layer)
     vc = _slice_layer(v_cache, layer)
     if fresh is not None:

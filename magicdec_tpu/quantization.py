@@ -124,6 +124,7 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
     contraction, so scale applies to the output.
     """
     if _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
+        from magicdec_tpu.ops import pallas as PL
         from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
 
         In = wq.q.shape[0] * (2 if wq.bits == 4 else 1)
@@ -136,12 +137,25 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
         # operand): decode/verify shapes only — prefill chunks (M = B*C) use
         # the jnp path, where XLA fuses the dequant cast into the matmul
         if M <= 1024 and In % 512 == 0 and Out % 256 == 0:
-            # block_out must divide Out (e.g. the llama-3 vocab 128256 tiles
-            # by 256, not 512)
-            block_out = 512 if Out % 512 == 0 else 256
+            # Blocking: the whole contraction axis per block (one accumulator
+            # pass), then the widest output block that keeps one weight block
+            # ~<= 2 MiB.  Small blocks are the draft step's dominant cost:
+            # a [32, 512]x[512, 512] step moves 256 KB per ~1.5 us of grid
+            # fixed cost, leaving the kernel far below HBM bandwidth (the
+            # measured ~2x draft roofline gap, COVERAGE.md); 2 MiB blocks cut
+            # the step count ~10x at unchanged VMEM (<= 2 blocks in flight
+            # + M rows of x/out).
+            block_in = In
+            w_bytes_per_out = block_in * (1 if wq.bits == 8 else 0.5)
+            block_out = Out
+            while block_out > 256 and block_out * w_bytes_per_out > 2 * 1024 * 1024:
+                block_out //= 2
+            while Out % block_out:  # vocab 128256 tiles by 256, not 512
+                block_out //= 2
             y = quant_matmul_pallas(x.reshape(M, In), wq.q, wq.scale,
                                     bits=wq.bits, group_size=wq.group_size,
-                                    block_in=512, block_out=block_out)
+                                    block_in=block_in, block_out=block_out,
+                                    interpret=PL.use_interpret())
             return y.reshape(*lead, Out)
     q = wq.q
     if wq.bits == 4:
