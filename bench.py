@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 
-def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25):
+def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25,
+                tied=None):
+    """``tied=None`` follows the config (llama-3.2-1b IS tied, like the real
+    checkpoint — the head reads embed.T, saving the 0.5 GB lm_head buffer)."""
     rng = np.random.RandomState(seed)
 
     def w(*shape, scale=None):
@@ -42,9 +45,10 @@ def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25):
         "w2": w(L, F, D, scale=residual_scale / np.sqrt(F)),
         "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
     }
-    return {"embed": w(cfg.vocab_size, D, scale=1.0), "layers": layers,
+    tied = cfg.tie_word_embeddings if tied is None else tied
+    return {"embed": w(cfg.vocab_size, D, scale=0.02), "layers": layers,
             "final_norm": jnp.ones((D,), dtype),
-            "lm_head": w(D, cfg.vocab_size, scale=0.02)}
+            "lm_head": None if tied else w(D, cfg.vocab_size, scale=0.02)}
 
 
 def main():
@@ -98,6 +102,13 @@ def main():
 
     cfg = ModelConfig.from_name(args.model)
     params = make_params(cfg)
+    if args.quantize and args.draft_quant:
+        # quantized target weights: the self-spec draft SHARES them — a
+        # second quantized copy would be redundant bytes (and quantizing a
+        # QuantizedWeight pytree is undefined)
+        print(f"[bench] --quantize {args.quantize}: draft shares the "
+              "quantized target weights (draft_quant disabled)", file=sys.stderr)
+        args.draft_quant = None
     if args.quantize or args.draft_quant:
         from magicdec_tpu import quantization as Q
 

@@ -162,7 +162,8 @@ class SpecEngine:
                     "kernel is an opaque custom call")
             self._dq_params = Q.quantize_params(
                 params, bits=kv_quant_bits(ecfg.draft_quant),
-                include_head=ecfg.draft_quant_head)
+                include_head=ecfg.draft_quant_head,
+                materialize_tied_head=ecfg.draft_quant_head)
             if mesh is not None:
                 from magicdec_tpu.parallel import sharding as S
                 self._dq_params = S.shard_quant_params(
@@ -779,7 +780,8 @@ class LongSpecEngine(SpecEngine):
                     "kernel is an opaque custom call")
             draft_params = Q.quantize_params(
                 draft_params, bits=kv_quant_bits(ecfg.draft_quant),
-                include_head=ecfg.draft_quant_head)
+                include_head=ecfg.draft_quant_head,
+                materialize_tied_head=ecfg.draft_quant_head)
             self._dq_longspec_pending = mesh is not None
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg

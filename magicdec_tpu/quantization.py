@@ -173,7 +173,8 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
 
 
 def quantize_params(params, bits: int = 8, group_size: int = None,
-                    include_head: bool = True):
+                    include_head: bool = True,
+                    materialize_tied_head: bool = False):
     """Quantize every linear layer weight (not embeddings/norms), like the
     reference's convert_for_runtime swapping all nn.Linear (quantize.py:44-49).
 
@@ -181,15 +182,25 @@ def quantize_params(params, bits: int = 8, group_size: int = None,
     buffer, no copy): a draft-pass weight copy then costs only the layer
     weights' quantized bytes — the lm_head is ~20%% of a 1B model and the
     shared bf16 head adds ~0.3 ms/draft step instead of ~0.5 GB of HBM.
+
+    ``materialize_tied_head``: for tied-embedding models (lm_head is None,
+    head reads embed.T) build a QUANTIZED [D, V] head from the embedding.
+    Used for DRAFT weight copies: the tied bf16 head read is ~0.7 ms of a
+    ~5 ms draft step at llama-3.2-1b B=32 (scripts/profile_draft.py) while
+    the target keeps its exact tied head for verification.
     """
     layers = dict(params["layers"])
     for key in QUANT_KEYS:
         if layers.get(key) is not None:
             layers[key] = quantize_weight(layers[key], bits, group_size=group_size)
     out = dict(params, layers=layers)
-    if include_head and params.get("lm_head") is not None:
-        out["lm_head"] = quantize_weight(params["lm_head"], bits,
-                                         group_size=group_size)
+    if include_head:
+        if params.get("lm_head") is not None:
+            out["lm_head"] = quantize_weight(params["lm_head"], bits,
+                                             group_size=group_size)
+        elif materialize_tied_head and params.get("embed") is not None:
+            out["lm_head"] = quantize_weight(params["embed"].T, bits,
+                                             group_size=group_size)
     return out
 
 

@@ -158,12 +158,33 @@ def load_hf_checkpoint_dir(checkpoint_dir: str) -> Dict[str, np.ndarray]:
     return state
 
 
+def config_from_checkpoint_dir(checkpoint_dir: str,
+                               model_name: Optional[str] = None) -> ModelConfig:
+    """Resolve the ModelConfig for an on-disk HF checkpoint: the fuzzy name
+    registry first (reference transformer_configs, SnapKV/model.py:45-79),
+    falling back to the directory's own config.json (covers checkpoints the
+    registry does not know — the reference has no such fallback)."""
+    name = model_name or Path(checkpoint_dir).name
+    try:
+        return ModelConfig.from_name(name)
+    except KeyError:
+        cfg_path = Path(checkpoint_dir) / "config.json"
+        if not cfg_path.exists():
+            raise
+        import types
+
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        raw.setdefault("name_or_path", name)
+        raw.setdefault("model_type", "llama")
+        return config_from_hf(types.SimpleNamespace(**raw))
+
+
 def convert_hf_checkpoint(checkpoint_dir: str, out_path: str,
                           model_name: Optional[str] = None,
                           dtype=jnp.bfloat16) -> None:
     """CLI entry: HF dir -> single .npz of our pytree (fp arrays)."""
-    name = model_name or Path(checkpoint_dir).name
-    cfg = ModelConfig.from_name(name)
+    cfg = config_from_checkpoint_dir(checkpoint_dir, model_name)
     state = load_hf_checkpoint_dir(checkpoint_dir)
     params = params_from_hf_state_dict(state, cfg, dtype=dtype)
     flat = {}
@@ -192,6 +213,10 @@ def load_converted(path: str, dtype=None) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
     for key in raw.files:
         arr = raw[key]
+        if arr.dtype.kind == "V":  # np.savez stores bf16 as a raw void dtype
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
         node = params
         parts = key.split(".")
         for p in parts[:-1]:
