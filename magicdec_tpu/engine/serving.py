@@ -167,7 +167,8 @@ class ServingEngine(SpecEngine):
     # ------------------------------------------------------------------
 
     def serve(self, prompts: List[np.ndarray], B: int,
-              windows_per_sync: int = 4, rng=None) -> List[np.ndarray]:
+              windows_per_sync: int = 4, rng=None,
+              total_pages: Optional[int] = None) -> List[np.ndarray]:
         """Run all prompts through B slots; returns generated tokens per
         request (in submission order).  Prompts may have ARBITRARY lengths:
         admission waves bucket queued prompts by length and prefill each
@@ -177,31 +178,48 @@ class ServingEngine(SpecEngine):
         EngineConfig.temperature > 0 (each request samples from its own
         salt=request-id noise stream).
 
-        Admission/slot lifecycle runs through the native FCFS scheduler
-        (magicdec_tpu.native.Scheduler, C++ with an identical Python
-        fallback); per-request queue/service latencies and admission-wave
-        batching stats land in ``self.last_serve_stats``."""
+        Admission/slot lifecycle runs through the native FCFS scheduler and
+        KV PageAllocator (magicdec_tpu.native, C++ with identical Python
+        fallbacks): each admission reserves ceil((prompt + generation
+        budget) / 128) pages and releases them at drain; when ``total_pages``
+        is set below the full B x max_seq_len capacity, admission blocks
+        FCFS until pages free (memory backpressure).  Per-request
+        queue/service latencies and admission-wave batching stats land in
+        ``self.last_serve_stats``."""
         import time
 
         from magicdec_tpu import native
 
         sst = self.init_serving(B, max(len(p) for p in prompts), rng=rng)
         sched = native.Scheduler(B)
+        page_size = 128
+        cap_pages = -(-self.ecfg.max_seq_len // page_size)
+        reserve = self.ecfg.max_gen + self.ecfg.gamma + 2
+        n_pages = B * cap_pages if total_pages is None else total_pages
+        worst = -(-(max(len(p) for p in prompts) + reserve) // page_size)
+        if n_pages < worst:
+            raise ValueError(f"total_pages={n_pages} cannot hold the longest "
+                             f"request ({worst} pages)")
+        alloc = native.PageAllocator(n_pages, page_size, B, cap_pages)
+        slot_pages: Dict[int, int] = {}   # batch slot -> allocator slot
+        from collections import deque
+        pending = deque(range(len(prompts)))  # FCFS mirror of the queue
         t0 = time.perf_counter_ns()
         now_us = lambda: (time.perf_counter_ns() - t0) // 1000
         for rid in range(len(prompts)):
             sched.submit(rid, now_us())
         results: Dict[int, np.ndarray] = {}
-        waves, admitted, admit_s = 0, 0, 0.0
+        waves, admitted, admit_s, min_free = 0, 0, 0.0, alloc.free_pages()
 
         def refill(sst):
-            nonlocal waves, admitted, admit_s
+            nonlocal waves, admitted, admit_s, min_free
             active = np.asarray(sst.active)
             done = np.asarray(sst.done)
             output = committed = None
             for slot in range(B):
                 if active[slot] and done[slot]:
                     rid = sched.complete(slot, now_us())
+                    alloc.release(slot_pages.pop(slot))
                     if output is None:  # one host readback for all drains
                         output = np.asarray(sst.spec.output)
                         committed = np.asarray(sst.spec.num_committed)
@@ -209,8 +227,20 @@ class ServingEngine(SpecEngine):
                     sst = ServingState(spec=sst.spec,
                                        active=sst.active.at[slot].set(False),
                                        done=sst.done.at[slot].set(False))
-            wave = [(slot, prompts[rid], rid)
-                    for rid, slot in sched.assign(now_us())]
+            wave = []
+            while pending:
+                need_len = len(prompts[pending[0]]) + reserve
+                if alloc.free_pages() < -(-need_len // page_size):
+                    break  # FCFS backpressure: head of line waits for pages
+                got = sched.assign(now_us(), max_n=1)
+                if not got:
+                    break  # no free batch slot
+                rid, slot = got[0]
+                assert rid == pending.popleft()
+                slot_pages[slot] = alloc.admit(need_len)
+                assert slot_pages[slot] >= 0
+                wave.append((slot, prompts[rid], rid))
+            min_free = min(min_free, alloc.free_pages())
             if wave:
                 t = time.perf_counter()
                 sst = self.admit_many(sst, wave)
@@ -231,7 +261,8 @@ class ServingEngine(SpecEngine):
                                  "admission_waves": waves,
                                  "mean_admissions_per_wave":
                                      admitted / max(waves, 1),
-                                 "admission_time_s": admit_s}
+                                 "admission_time_s": admit_s,
+                                 "min_free_pages": min_free}
         return [results[i] for i in range(len(prompts))]
 
 

@@ -231,17 +231,22 @@ class Scheduler:
         else:
             self._q.append((req_id, arrival_us))
 
-    def assign(self, now_us: int = 0) -> list:
-        """[(req_id, slot), ...] FCFS into ascending free slots."""
+    def assign(self, now_us: int = 0, max_n: int = None) -> list:
+        """[(req_id, slot), ...] FCFS into ascending free slots.  ``max_n``
+        caps the number of assignments (admission-control callers pair each
+        assignment with a page reservation — engine/serving.py)."""
+        max_n = self.n_slots if max_n is None else min(max_n, self.n_slots)
         if self._lib is not None:
             out_r = np.empty(self.n_slots, np.int64)
             out_s = np.empty(self.n_slots, np.int64)
             p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
             n = self._lib.md_sched_assign(self._h, now_us, p(out_r), p(out_s),
-                                          self.n_slots)
+                                          max_n)
             return list(zip(out_r[:n].tolist(), out_s[:n].tolist()))
         pairs = []
         for slot in range(self.n_slots):
+            if len(pairs) >= max_n:
+                break
             if self._slot_req[slot] >= 0 or not self._q:
                 continue
             rid, arr = self._q.pop(0)

@@ -147,11 +147,13 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
             # + M rows of x/out).
             block_in = In
             w_bytes_per_out = block_in * (1 if wq.bits == 8 else 0.5)
-            block_out = Out
-            while block_out > 256 and block_out * w_bytes_per_out > 2 * 1024 * 1024:
-                block_out //= 2
-            while Out % block_out:  # vocab 128256 tiles by 256, not 512
-                block_out //= 2
+            block_out = 256  # always divides (guard above) and is lane-tiled
+            for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384):
+                # lane dim must be a multiple of 128 AND divide Out (the
+                # llama-3 vocab 128256 = 128*2*3*167 tiles by 768, not 1024)
+                if Out % bo == 0 and bo * w_bytes_per_out <= 2 * 1024 * 1024:
+                    block_out = bo
+                    break
             y = quant_matmul_pallas(x.reshape(M, In), wq.q, wq.scale,
                                     bits=wq.bits, group_size=wq.group_size,
                                     block_in=block_in, block_out=block_out,

@@ -14,6 +14,8 @@ from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
     (1, 4, 64, 64),    # plain decode
     (4, 4, 64, 64),    # verify window
     (2, 1, 128, 128),  # MHA, big head
+    (1, 4, 64, 256),   # single whole-cache block (_pick_block_s S-path)
+    (4, 4, 64, 256),
 ])
 def test_flash_decode_matches_oracle(T, G, hd, block_s):
     rng = np.random.RandomState(0)
@@ -127,8 +129,12 @@ def _appended(cache, rows, base):
     return jnp.asarray(out)
 
 
-@pytest.mark.parametrize("T,layered", [(1, False), (4, True)])
-def test_flash_decode_fresh_matches_appended(T, layered):
+@pytest.mark.parametrize("T,layered,block_s", [
+    (1, False, 64), (4, True, 64),
+    (2, True, 256),  # single whole-cache block + double-buffer window
+    (4, True, 256),
+])
+def test_flash_decode_fresh_matches_appended(T, layered, block_s):
     from magicdec_tpu.ops.pallas.decode_attention import flash_decode_attend
 
     B, Hkv, G, S, hd = 3, 2, 2, 256, 64
@@ -141,7 +147,7 @@ def test_flash_decode_fresh_matches_appended(T, layered):
     else:
         layer = None
     out = flash_decode_attend(q, k, v, base, layer=layer, k_new=k_new,
-                              v_new=v_new, block_s=64, interpret=True)
+                              v_new=v_new, block_s=block_s, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 

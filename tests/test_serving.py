@@ -150,3 +150,33 @@ def test_serving_batched_admission_single_wave():
     assert stats["admission_waves"] == 1 and stats["served"] == 4
     for prompt, out in zip(prompts, outs):
         np.testing.assert_array_equal(out, _solo_reference(prompt, ecfg))
+
+
+def test_serving_page_budget_backpressure():
+    """VERDICT r1 item 5: the native PageAllocator gates admission.  With a
+    page budget that holds only ~1.5 requests' reservations, admissions are
+    FCFS-throttled (more waves, head-of-line waits for released pages), yet
+    every request still reproduces its solo run and the page floor is hit."""
+    ecfg = _ecfg(max_gen=10)
+    prompts = _prompts(4, 48, seed=41)
+    # one request reserves ceil((48 + 10 + 3 + 2)/128) = 1 page; budget 1
+    # page => strictly serial admission even though B=2 slots exist
+    engine = ServingEngine(PARAMS, CFG, ecfg)
+    outs = engine.serve(prompts, B=2, windows_per_sync=2, total_pages=1)
+    stats = engine.last_serve_stats
+    assert stats["admission_waves"] >= 4  # serial: one request per wave
+    assert stats["mean_admissions_per_wave"] == 1.0
+    assert stats["min_free_pages"] == 0
+    for prompt, out in zip(prompts, outs):
+        np.testing.assert_array_equal(out, _solo_reference(prompt, ecfg))
+
+    # generous budget: both slots fill in the first wave
+    engine2 = ServingEngine(PARAMS, CFG, ecfg)
+    outs2 = engine2.serve(prompts, B=2, windows_per_sync=2, total_pages=8)
+    assert engine2.last_serve_stats["mean_admissions_per_wave"] > 1.0
+    for a, b in zip(outs, outs2):
+        np.testing.assert_array_equal(a, b)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="total_pages"):
+        engine2.serve(prompts, B=2, total_pages=0)
