@@ -92,3 +92,52 @@ def attend_paged(q: jnp.ndarray, pages_l: jnp.ndarray, base_lens: jnp.ndarray,
             cu_q_lens, num_seqs, sm_scale=float(hd) ** -0.5)
         return out.reshape(B, T, Hq, hd)
     raise ValueError(backend)
+
+
+# ---------------------------------------------------------------------------
+# Serving page POOL (framework-native layout): pools [L, P, ps, Hkv*hd] with
+# per-request page tables [B, npr].  This is the layout consumed by the
+# Pallas paged kernels (ops/pallas/paged_attention.py) and the
+# continuous-batching paged serving engine; pages are assigned by the native
+# host-side allocator (native/runtime.cpp PageAllocator) at admission-wave
+# boundaries — vs the reference's flashinfer paged wrappers re-planned on the
+# host every decode step (Engine/SnapKV/backend.py:181-197).
+# ---------------------------------------------------------------------------
+
+def alloc_pool(n_layer: int, n_pages: int, page_size: int, lane_width: int,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[L, P, ps, Kc] page pool (Kc = Hkv*hd dense, (Hkv//2)*hd int4-packed)."""
+    return jnp.zeros((n_layer, n_pages, page_size, lane_width), dtype)
+
+
+def alloc_scale_pool(n_layer: int, n_pages: int, n_kv: int, page_size: int,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """[L, P, Hkv, ps] per-(token, head) scale pool for quantized pools."""
+    return jnp.zeros((n_layer, n_pages, n_kv, page_size), dtype)
+
+
+def pool_gather(pool: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Paged -> contiguous oracle view: [L, P, ps, Kc] + [B, npr] ->
+    [L, B, npr*ps, Kc] (tests / jnp fallback; a real gather, never on the
+    hot path)."""
+    L, _, ps, Kc = pool.shape
+    B, npr = table.shape
+    return pool[:, table.reshape(-1)].reshape(L, B, npr * ps, Kc)
+
+
+def scale_pool_gather(pool: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """[L, P, H, ps] + [B, npr] -> [L, B, H, npr*ps]."""
+    L, _, H, ps = pool.shape
+    B, npr = table.shape
+    g = pool[:, table.reshape(-1)].reshape(L, B, npr, H, ps)
+    return jnp.swapaxes(g, 2, 3).reshape(L, B, H, npr * ps)
+
+
+def pool_scatter(pool: jnp.ndarray, table: jnp.ndarray,
+                 contiguous: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pool_gather (test helper): write [L, B, npr*ps, Kc] back
+    into pool pages."""
+    L, _, ps, Kc = pool.shape
+    B, npr = table.shape
+    rows = contiguous.reshape(L, B * npr, ps, Kc)
+    return pool.at[:, table.reshape(-1)].set(rows)

@@ -27,6 +27,11 @@ def main():
     p.add_argument("--prefix", type=int, default=32768)
     p.add_argument("--kv_quant", default="int4", choices=["int8", "int4", "none"])
     p.add_argument("--draft_quant", default=None, choices=["int8", "int4"])
+    p.add_argument("--quantize", default=None, choices=["int8", "int4"],
+                   help="quantize the TARGET weights (self-spec draft shares "
+                        "them) — the 32k/B=32 memory plan needs int4")
+    p.add_argument("--kv_scale", default="bf16", choices=["f32", "bf16"])
+    p.add_argument("--seq_round", type=int, default=512)
     p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--max_gen", type=int, default=16)
     args = p.parse_args()
@@ -37,15 +42,21 @@ def main():
 
     cfg = ModelConfig.from_name("llama-3.2-1b")
     params = make_params(cfg)
+    if args.quantize:
+        from magicdec_tpu import quantization as Q
+        params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
+        args.draft_quant = None  # draft shares the quantized target weights
     kv = False if args.kv_quant == "none" else args.kv_quant
-    seq_round = 2048
+    seq_round = args.seq_round
     ecfg = EngineConfig(
         mode="streamingllm", gamma=args.gamma, draft_budget=513,
         max_seq_len=((args.prefix + args.max_gen + args.gamma + 2 + seq_round - 1)
                      // seq_round) * seq_round,
         chunk_size=128, prefill_chunk_size=512, max_gen=args.max_gen,
         eot_ids=(-1,), cache_dtype=jnp.bfloat16, attn_backend="flash",
-        kv_quant=kv, draft_quant=args.draft_quant or False)
+        kv_quant=kv, draft_quant=args.draft_quant or False,
+        kv_scale_dtype=(jnp.bfloat16 if args.kv_scale == "bf16"
+                        else jnp.float32))
     eng = SpecEngine(params, cfg, ecfg)
     print(f"[probe] B={args.B} prefix={args.prefix} S={ecfg.max_seq_len} "
           f"kv={kv} dq={args.draft_quant}", flush=True)
