@@ -106,6 +106,14 @@ class EngineConfig:
                                        # w1|w3 into single dots at init
                                        # (models.llama.fuse_exec_params;
                                        # bit-identical, fewer small kernels)
+    page_size: int = 2048              # paged serving (PagedServingEngine)
+                                       # page rows.  TPU-native paging wants
+                                       # BIG pages: the page is the decode
+                                       # kernel's KV block, and small blocks
+                                       # leave it MXU-latency-bound
+                                       # (ops/attention._pick_block_s);
+                                       # fragmentation at 2048 rows is cheap
+                                       # next to bandwidth.
     temperature: float = 0.0           # > 0 enables Gumbel-coupled sampling:
                                        # every committed token is an EXACT
                                        # categorical sample from the (top-p
@@ -270,6 +278,8 @@ class SpecEngine:
         c = {"k": st.k, "v": st.v}
         if st.ks is not None:
             c.update(ks=st.ks, vs=st.vs)
+        if getattr(st, "table", None) is not None:  # paged serving pools
+            c["table"] = st.table
         return c
 
     # ------------------------------------------------------------------

@@ -272,3 +272,252 @@ class ServingLongSpecEngine(ServingEngine, LongSpecEngine):
     only run with fixed batches and batch-global termination).  Inherits the
     per-request lifecycle from ServingEngine and the draft model / encode paths
     (full, streamingllm, or snapkv draft cache) from LongSpecEngine."""
+
+
+class PagedServingEngine(ServingEngine):
+    """Continuous-batching serving over a shared KV page POOL.
+
+    The contiguous ServingEngine gives every slot a full [S, K] cache region,
+    so HBM capacity is B * max_seq_len even when most requests are short.
+    Here the target cache is a pool [L, P, page_size, Kc] (+ scale pools when
+    kv_quant) and each slot maps its logical KV blocks to pool pages through
+    ``SpecState.table`` [B, npr]: capacity is governed by the SUM of admitted
+    request lengths.  This is the TPU-native completion of the reference's
+    flashinfer paged wrappers (Engine/SnapKV/backend.py:42-115) — but where
+    the reference re-plans its wrappers on the host every decode step, pages
+    here are assigned by the native allocator (native/runtime.cpp) only at
+    admission-wave boundaries, and the decode loop stays one jitted program
+    reading through scalar-prefetched tables
+    (ops/pallas/paged_attention.py).
+
+    Mechanics:
+    - pool page 0..B-1 are per-slot SCRATCH pages: drained (inactive) slots
+      point their whole table at their scratch page, so the masked-out
+      garbage appends that inactive slots still execute can never land in
+      pages the allocator has reassigned to live requests;
+    - admission prefills CONTIGUOUS (the admission wave's [k, S] caches are
+      transient) and splices the result into the slot's freshly-allocated
+      pages — so no paged prefill kernel is needed and the admission cost
+      matches the contiguous engine's;
+    - the decode/verify hot path runs the paged flash kernels + ONE aliased
+      paged RMW append per forward (table-indexed twins of the contiguous
+      kernels; bit-parity tested).
+
+    The draft (budget-sized) caches stay contiguous per slot — they are ~2%
+    of target-cache bytes and fully occupied by construction.
+    """
+
+    @property
+    def _npr(self) -> int:
+        e = self.ecfg
+        if e.max_seq_len % e.page_size:
+            raise ValueError(f"max_seq_len {e.max_seq_len} must be a multiple "
+                             f"of page_size {e.page_size}")
+        return e.max_seq_len // e.page_size
+
+    def init_serving(self, B: int, prefix: int, rng=None,
+                     total_pages: Optional[int] = None) -> ServingState:
+        from magicdec_tpu.engine.engine import kv_quant_bits
+        from magicdec_tpu.ops import paged_kv as PKV
+
+        e, cfg = self.ecfg, self.cfg
+        ps = e.page_size
+        npr = self._npr
+        P = (B * npr if total_pages is None else total_pages) + B  # + scratch
+        bits = kv_quant_bits(e.kv_quant)
+        lane = cfg.n_kv_head * cfg.head_dim // (2 if bits == 4 else 1)
+        dt = jnp.int8 if bits else e.cache_dtype
+        pool_k = PKV.alloc_pool(cfg.n_layer, P, ps, lane, dt)
+        pool_v = jnp.zeros_like(pool_k)
+        sk = sv = None
+        if bits:
+            sk = PKV.alloc_scale_pool(cfg.n_layer, P, cfg.n_kv_head, ps,
+                                      e.kv_scale_dtype)
+            sv = jnp.zeros_like(sk)
+        dk = jnp.zeros(self._cache_shape(B, self._draft_cap, self._draft_cfg()),
+                       e.cache_dtype)
+        dv = jnp.zeros_like(dk)
+        table = jnp.tile(jnp.arange(B, dtype=jnp.int32)[:, None], (1, npr))
+
+        rng, _ = self._sampling_args(B, rng, None)
+
+        def zeros():
+            return jnp.zeros((B,), jnp.int32)
+
+        spec = SpecState(
+            k=pool_k, v=pool_v, ks=sk, vs=sv, table=table,
+            target_lens=zeros(), dk=dk, dv=dv,
+            draft_fill=zeros(), draft_pos=zeros(), token0=zeros(),
+            output=jnp.zeros((B, self._out_cap), jnp.int32),
+            num_committed=zeros(), target_steps=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            db_tokens=jnp.zeros((B, 2), jnp.int32),
+            db_update=jnp.ones((B,), jnp.int32),
+            rng=rng,
+            salt=jnp.zeros((B,), jnp.int32) if rng is not None else None)
+        return ServingState(spec=spec, active=jnp.zeros((B,), bool),
+                            done=jnp.zeros((B,), bool))
+
+    def admit_many(self, sst: ServingState, admissions) -> ServingState:
+        """admissions: [(slot, prompt, salt, table_row [npr] int32), ...] —
+        table_row holds the slot's page ids (allocator pages offset past the
+        scratch pages; unused tail entries = the slot's scratch page)."""
+        buckets: Dict[int, list] = {}
+        for slot, prompt, salt, trow in admissions:
+            buckets.setdefault(len(prompt), []).append((slot, prompt, salt, trow))
+        for plen, group in buckets.items():
+            slots = jnp.asarray([g[0] for g in group], jnp.int32)
+            prompts = jnp.asarray(np.stack([np.asarray(g[1]) for g in group]),
+                                  jnp.int32)
+            salts = jnp.asarray([g[2] for g in group], jnp.int32)
+            tables = jnp.asarray(np.stack([np.asarray(g[3]) for g in group]),
+                                 jnp.int32)
+            stk = self.encode(prompts, rng=sst.spec.rng, salt=salts)
+            fn = self._admit_fn(sst.active.shape[0], len(group))
+            sst = fn(sst, stk, slots, tables)
+        return sst
+
+    @functools.lru_cache(maxsize=8)
+    def _admit_fn(self, B: int, k: int):
+        ps = self.ecfg.page_size
+        npr = self._npr
+
+        def admit(sst: ServingState, stk: SpecState, slots, tables):
+            spec = sst.spec
+
+            def to_pages(c):  # [L, k, S, Kc] -> [L, k*npr, ps, Kc]
+                L, kk, S, Kc = c.shape
+                return c.reshape(L, kk * npr, ps, Kc)
+
+            def to_scale_pages(s):  # [L, k, H, S] -> [L, k*npr, H, ps]
+                L, kk, H, S = s.shape
+                return (s.reshape(L, kk, H, npr, ps)
+                        .transpose(0, 1, 3, 2, 4).reshape(L, kk * npr, H, ps))
+
+            flat = tables.reshape(-1)
+            upd = dict(
+                k=spec.k.at[:, flat].set(to_pages(stk.k)),
+                v=spec.v.at[:, flat].set(to_pages(stk.v)),
+                dk=spec.dk.at[:, slots].set(stk.dk),
+                dv=spec.dv.at[:, slots].set(stk.dv),
+                table=spec.table.at[slots].set(tables),
+            )
+            if spec.ks is not None:
+                upd["ks"] = spec.ks.at[:, flat].set(to_scale_pages(stk.ks))
+                upd["vs"] = spec.vs.at[:, flat].set(to_scale_pages(stk.vs))
+            for name in ("target_lens", "draft_fill", "draft_pos", "token0",
+                         "num_committed", "output", "db_tokens", "db_update"):
+                upd[name] = getattr(spec, name).at[slots].set(
+                    getattr(stk, name))
+            if spec.salt is not None:
+                upd["salt"] = spec.salt.at[slots].set(stk.salt)
+            spec = spec.replace(**upd)
+            return ServingState(spec=spec,
+                                active=sst.active.at[slots].set(True),
+                                done=sst.done.at[slots].set(False))
+
+        return jax.jit(admit, donate_argnums=(0,))
+
+    def serve(self, prompts: List[np.ndarray], B: int,
+              windows_per_sync: int = 4, rng=None,
+              total_pages: Optional[int] = None) -> List[np.ndarray]:
+        """Paged serve loop: same lifecycle as ServingEngine.serve, but the
+        native PageAllocator's tables become the DEVICE page tables (real
+        paged storage, not just accounting), and drained slots repoint at
+        their scratch page before their pages are reused."""
+        import time
+
+        from magicdec_tpu import native
+
+        e = self.ecfg
+        ps = e.page_size
+        npr = self._npr
+        reserve = e.max_gen + e.gamma + 2
+        n_pages = B * npr if total_pages is None else total_pages
+        worst = -(-(max(len(p) for p in prompts) + reserve) // ps)
+        if n_pages < worst:
+            raise ValueError(f"total_pages={n_pages} cannot hold the longest "
+                             f"request ({worst} pages)")
+        sst = self.init_serving(B, max(len(p) for p in prompts), rng=rng,
+                                total_pages=n_pages)
+        sched = native.Scheduler(B)
+        alloc = native.PageAllocator(n_pages, ps, B, npr)
+        slot_pages: Dict[int, int] = {}
+        from collections import deque
+        pending = deque(range(len(prompts)))
+        t0 = time.perf_counter_ns()
+        now_us = lambda: (time.perf_counter_ns() - t0) // 1000
+        for rid in range(len(prompts)):
+            sched.submit(rid, now_us())
+        results: Dict[int, np.ndarray] = {}
+        waves, admitted, admit_s, min_free = 0, 0, 0.0, alloc.free_pages()
+
+        def table_row(aslot: int, slot: int) -> np.ndarray:
+            pt, _, _ = alloc.tables()
+            row = pt[aslot].copy()
+            row[row >= 0] += B            # pool pages 0..B-1 are scratch
+            row[row < 0] = slot           # unused tail -> scratch (never read)
+            return row.astype(np.int32)
+
+        def refill(sst):
+            nonlocal waves, admitted, admit_s, min_free
+            active = np.asarray(sst.active)
+            done = np.asarray(sst.done)
+            output = committed = None
+            drained = []
+            for slot in range(B):
+                if active[slot] and done[slot]:
+                    rid = sched.complete(slot, now_us())
+                    alloc.release(slot_pages.pop(slot))
+                    if output is None:
+                        output = np.asarray(sst.spec.output)
+                        committed = np.asarray(sst.spec.num_committed)
+                    results[rid] = output[slot, : int(committed[slot])]
+                    drained.append(slot)
+            if drained:
+                idx = jnp.asarray(drained, jnp.int32)
+                scratch = jnp.tile(idx[:, None], (1, npr))
+                sst = ServingState(
+                    spec=sst.spec.replace(
+                        table=sst.spec.table.at[idx].set(scratch)),
+                    active=sst.active.at[idx].set(False),
+                    done=sst.done.at[idx].set(False))
+            wave = []
+            while pending:
+                need_len = len(prompts[pending[0]]) + reserve
+                if alloc.free_pages() < -(-need_len // ps):
+                    break
+                got = sched.assign(now_us(), max_n=1)
+                if not got:
+                    break
+                rid, slot = got[0]
+                assert rid == pending.popleft()
+                aslot = alloc.admit(need_len)
+                assert aslot >= 0
+                slot_pages[slot] = aslot
+                wave.append((slot, prompts[rid], rid, table_row(aslot, slot)))
+            min_free = min(min_free, alloc.free_pages())
+            if wave:
+                t = time.perf_counter()
+                sst = self.admit_many(sst, wave)
+                admit_s += time.perf_counter() - t
+                waves += 1
+                admitted += len(wave)
+            return sst
+
+        sst = refill(sst)
+        windows = self._windows_fn(B, windows_per_sync)
+        while any(sched.counts()[:2]):
+            sst = windows(self.params, self._draft_arg(), sst)
+            sst = refill(sst)
+        mean_q_us, mean_s_us = sched.stats()
+        self.last_serve_stats = {"mean_queue_ms": mean_q_us / 1e3,
+                                 "mean_service_ms": mean_s_us / 1e3,
+                                 "served": sched.counts()[2],
+                                 "admission_waves": waves,
+                                 "mean_admissions_per_wave":
+                                     admitted / max(waves, 1),
+                                 "admission_time_s": admit_s,
+                                 "total_pages": n_pages,
+                                 "min_free_pages": min_free}
+        return [results[i] for i in range(len(prompts))]

@@ -49,6 +49,10 @@ class SpecState:
     # (ops.sampling.coupled_gumbel).
     rng: Optional[jnp.ndarray] = None
     salt: Optional[jnp.ndarray] = None
+    # Paged serving (engine/serving.PagedServingEngine): k/v (+ks/vs) are page
+    # POOLS [L, P, ps, Kc] shared across slots and `table` [B, npr] int32 maps
+    # a slot's logical KV blocks to pool pages.  None = contiguous caches.
+    table: Optional[jnp.ndarray] = None
 
 
 @flax.struct.dataclass

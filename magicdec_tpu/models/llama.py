@@ -329,6 +329,9 @@ def _append_rows(caches, rows, write_pos, prefix="", backend="jnp"):
     per shard via shard_map."""
     from magicdec_tpu.ops.shard import FlashShard
 
+    if caches.get(prefix + "table") is not None:
+        return _append_rows_paged(caches, rows, write_pos, prefix=prefix,
+                                  backend=backend)
     if isinstance(backend, FlashShard):
         from magicdec_tpu.ops import shard as shard_ops
 
@@ -385,6 +388,42 @@ def _append_rows(caches, rows, write_pos, prefix="", backend="jnp"):
             caches[prefix + "ks"], rows["ks"], write_pos)
         out[prefix + "vs"] = kv_ops.append_scale_rows_all_layers(
             caches[prefix + "vs"], rows["vs"], write_pos)
+    return {**caches, **out}
+
+
+def _append_rows_paged(caches, rows, write_pos, prefix="", backend="jnp"):
+    """_append_rows when the caches are page POOLS + a ``table`` key
+    (engine/serving.PagedServingEngine).  flash: one aliased RMW into the
+    pool (ops/pallas/paged_attention.append_paged_rows_inplace); jnp: the
+    scatter oracle (CPU tests — a pool scatter copies the pool under jit)."""
+    from magicdec_tpu.ops import paged_kv as pkv_ops
+
+    table = caches[prefix + "table"]
+    quant = "ks" in rows
+    if backend == "flash":
+        from magicdec_tpu.ops import pallas as PL
+        from magicdec_tpu.ops.pallas import paged_attention as PGA
+
+        out_arrays = PGA.append_paged_rows_inplace(
+            caches[prefix + "k"], caches[prefix + "v"],
+            rows["k"], rows["v"], write_pos, table,
+            *((caches[prefix + "ks"], caches[prefix + "vs"],
+               rows["ks"], rows["vs"]) if quant else (None,) * 4),
+            interpret=PL.use_interpret())
+        out = {prefix + "k": out_arrays[0], prefix + "v": out_arrays[1]}
+        if quant:
+            out[prefix + "ks"] = out_arrays[2]
+            out[prefix + "vs"] = out_arrays[3]
+        return {**caches, **out}
+    out = {prefix + "k": pkv_ops.append_paged_rows_all_layers(
+               caches[prefix + "k"], rows["k"], write_pos, table),
+           prefix + "v": pkv_ops.append_paged_rows_all_layers(
+               caches[prefix + "v"], rows["v"], write_pos, table)}
+    if quant:
+        out[prefix + "ks"] = pkv_ops.append_paged_scale_rows_all_layers(
+            caches[prefix + "ks"], rows["ks"], write_pos, table)
+        out[prefix + "vs"] = pkv_ops.append_paged_scale_rows_all_layers(
+            caches[prefix + "vs"], rows["vs"], write_pos, table)
     return {**caches, **out}
 
 

@@ -235,6 +235,9 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
         return shard_ops.attend_cache_sharded(backend, q, caches, base_lens,
                                               layer=layer, prefix=prefix,
                                               fresh=fresh)
+    if caches.get(prefix + "table") is not None:
+        return _attend_cache_paged(q, caches, base_lens, layer=layer,
+                                   backend=backend, prefix=prefix, fresh=fresh)
     k_cache = caches[prefix + "k"]
     v_cache = caches[prefix + "v"]
     quant = (prefix + "ks") in caches and caches.get(prefix + "ks") is not None
@@ -307,3 +310,47 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
         kc = _dus_rows(kc, fresh["k"], base_lens)
         vc = _dus_rows(vc, fresh["v"], base_lens)
     return attend(q, kc, vc, base_lens, causal=True)
+
+
+def _attend_cache_paged(q, caches, base_lens, *, layer, backend="jnp",
+                        prefix="", fresh=None):
+    """attend_cache over page POOLS (serving: caches carry ``table`` [B, npr]
+    mapping logical KV blocks to pool pages — engine/serving.PagedServingEngine).
+
+    flash + decode windows (T <= 16) run the Pallas paged kernels
+    (ops/pallas/paged_attention.py: the page is the KV block); every other
+    combination gathers the pool into the contiguous layout and reuses the
+    contiguous path (oracle/CPU tests — the serving decode loop only ever
+    issues small windows)."""
+    table = caches[prefix + "table"]
+    k_pool = caches[prefix + "k"]
+    v_pool = caches[prefix + "v"]
+    quant = caches.get(prefix + "ks") is not None
+    T = q.shape[1]
+    if backend == "flash" and T <= 16:
+        from magicdec_tpu.ops.pallas import paged_attention as PGA
+        if quant:
+            k_scale = caches[prefix + "ks"]
+            v_scale = caches[prefix + "vs"]
+            Hkv = k_scale.shape[2]
+            packed4 = k_pool.shape[3] == (Hkv // 2) * q.shape[-1]
+            fresh_kw = ({} if fresh is None else
+                        dict(k_new=fresh["k"], v_new=fresh["v"],
+                             ks_new=fresh["ks"], vs_new=fresh["vs"]))
+            fn = (PGA.flash_paged_decode_attend_quant4 if packed4
+                  else PGA.flash_paged_decode_attend_quant)
+            return fn(q, k_pool, k_scale, v_pool, v_scale, table, base_lens,
+                      layer=layer, interpret=_interp(), **fresh_kw)
+        fresh_kw = ({} if fresh is None else
+                    dict(k_new=fresh["k"], v_new=fresh["v"]))
+        return PGA.flash_paged_decode_attend(q, k_pool, v_pool, table,
+                                             base_lens, layer=layer,
+                                             interpret=_interp(), **fresh_kw)
+    from magicdec_tpu.ops import paged_kv as PKV
+    contig = {prefix + "k": PKV.pool_gather(k_pool, table),
+              prefix + "v": PKV.pool_gather(v_pool, table)}
+    if quant:
+        contig[prefix + "ks"] = PKV.scale_pool_gather(caches[prefix + "ks"], table)
+        contig[prefix + "vs"] = PKV.scale_pool_gather(caches[prefix + "vs"], table)
+    return attend_cache(q, contig, base_lens, layer=layer, backend=backend,
+                        prefix=prefix, fresh=fresh)

@@ -354,16 +354,19 @@ def _merge_rows_block(pos, t, new_f32, cache_blk, out_dtype, *, T, Tp, S):
     return jnp.where(in_range, merged.astype(out_dtype), cache_blk)
 
 
-def _merge_scale_block(pos, t, new_f32, scale_blk, out_dtype, *, T, Tp, S):
-    """Shared 128-column RMW merge (see _inplace_scale_kernel)."""
-    cb = jnp.minimum(pos // 128 + t, S // 128 - 1)
+def _merge_scale_block(pos, t, new_f32, scale_blk, out_dtype, *, T, Tp, S,
+                       width: int = 128):
+    """Shared `width`-column RMW merge (see _inplace_scale_kernel).  width is
+    a lane tile (128) except for paged pools whose page_size is smaller than
+    a tile — a column block must not straddle a page (CPU-test page sizes)."""
+    cb = jnp.minimum(pos // width + t, S // width - 1)
     H = new_f32.shape[0]
-    gcol = cb * 128 + jax.lax.broadcasted_iota(jnp.int32, (Tp, 128), 1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (Tp, 128), 0)
+    gcol = cb * width + jax.lax.broadcasted_iota(jnp.int32, (Tp, width), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (Tp, width), 0)
     sel = (gcol - pos == idx).astype(jnp.float32)
     merged = jax.lax.dot_general(new_f32, sel, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    col1 = cb * 128 + jax.lax.broadcasted_iota(jnp.int32, (H, 128), 1)
+    col1 = cb * width + jax.lax.broadcasted_iota(jnp.int32, (H, width), 1)
     in_range = (col1 >= pos) & (col1 < pos + T)
     return jnp.where(in_range, merged.astype(out_dtype), scale_blk)
 

@@ -141,3 +141,37 @@ def pool_scatter(pool: jnp.ndarray, table: jnp.ndarray,
     B, npr = table.shape
     rows = contiguous.reshape(L, B * npr, ps, Kc)
     return pool.at[:, table.reshape(-1)].set(rows)
+
+
+def append_paged_rows_all_layers(pool: jnp.ndarray, rows: jnp.ndarray,
+                                 write_pos: jnp.ndarray,
+                                 table: jnp.ndarray) -> jnp.ndarray:
+    """jnp oracle of the aliased paged append (ops/pallas/paged_attention.
+    append_paged_rows_inplace): scatter rows [L, B, T, Kc] into pool pages at
+    per-request logical positions.  CPU tests / fallback only — a jnp scatter
+    on the pool forces a defensive full-pool copy under jit."""
+    L, P, ps, Kc = pool.shape
+    B, npr = table.shape
+    T = rows.shape[2]
+    pos = write_pos[:, None].astype(jnp.int32) + jnp.arange(T, dtype=jnp.int32)[None]
+    page = jnp.take_along_axis(table, pos // ps, axis=1)         # [B, T]
+    slot = pos % ps
+    return pool.at[:, page, slot].set(rows.astype(pool.dtype))
+
+
+def append_paged_scale_rows_all_layers(spool: jnp.ndarray, srows: jnp.ndarray,
+                                       write_pos: jnp.ndarray,
+                                       table: jnp.ndarray) -> jnp.ndarray:
+    """Scale counterpart: spool [L, P, H, ps]; srows [L, B, H, T]."""
+    L, P, H, ps = spool.shape
+    B, npr = table.shape
+    T = srows.shape[3]
+    pos = write_pos[:, None].astype(jnp.int32) + jnp.arange(T, dtype=jnp.int32)[None]
+    page = jnp.take_along_axis(table, pos // ps, axis=1)         # [B, T]
+    slot = pos % ps
+    h = jnp.arange(H, dtype=jnp.int32)
+    # advanced indices (page, h, slot) broadcast to [B, T, H]; result axes
+    # [L, B, T, H] <- srows moved to [L, B, T, H]
+    return spool.at[:, page[:, :, None], h[None, None, :],
+                    slot[:, :, None]].set(
+        jnp.moveaxis(srows, 3, 2).astype(spool.dtype))

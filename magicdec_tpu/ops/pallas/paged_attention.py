@@ -260,10 +260,14 @@ def append_paged_rows_inplace(pool_k, pool_v, rows_k, rows_v, write_pos,
         page = tb[b * npr + (g8 * 8) // ps]
         return (g, page, (g8 * 8) % ps // 8, 0)
 
+    # scale column blocks must not straddle a page: a lane tile (128) when
+    # ps >= 128, else the whole page (CPU-test page sizes)
+    cw = min(128, ps)
+
     def sblk_map(g, b, t, pr, tb):
-        gc = jnp.minimum(pr[b] // 128 + t, S // 128 - 1)  # logical 128-col blk
-        page = tb[b * npr + (gc * 128) // ps]
-        return (g, page, 0, (gc * 128) % ps // 128)
+        gc = jnp.minimum(pr[b] // cw + t, S // cw - 1)  # logical col block
+        page = tb[b * npr + (gc * cw) // ps]
+        return (g, page, 0, (gc * cw) % ps // cw)
 
     nblk = (T + 6) // 8 + 1
     row_kw = dict(T=T, Tp=Tp, S=S)
@@ -294,7 +298,7 @@ def append_paged_rows_inplace(pool_k, pool_v, rows_k, rows_v, write_pos,
             interpret=interpret,
         )(write_pos.astype(jnp.int32), tbl, rows_k, rows_v, pool_k, pool_v)
 
-    sc_kw = dict(T=T, Tp=Tp, S=S)
+    sc_kw = dict(T=T, Tp=Tp, S=S, width=cw)
 
     def kernel(pos_ref, tbl_ref, rk_ref, rv_ref, srk_ref, srv_ref,
                ck_ref, cv_ref, sk_ref, sv_ref,
@@ -320,9 +324,9 @@ def append_paged_rows_inplace(pool_k, pool_v, rows_k, rows_v, write_pos,
         in_specs=[pl.BlockSpec((Lb, 1, Tp, Kc), new_map)] * 2
         + [pl.BlockSpec((Lb, 1, H, Tp), new_map)] * 2
         + [pl.BlockSpec((Lb, 1, 8, Kc), blk_map)] * 2
-        + [pl.BlockSpec((Lb, 1, H, 128), sblk_map)] * 2,
+        + [pl.BlockSpec((Lb, 1, H, cw), sblk_map)] * 2,
         out_specs=[pl.BlockSpec((Lb, 1, 8, Kc), blk_map)] * 2
-        + [pl.BlockSpec((Lb, 1, H, 128), sblk_map)] * 2,
+        + [pl.BlockSpec((Lb, 1, H, cw), sblk_map)] * 2,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
