@@ -38,11 +38,24 @@ def main():
     p.add_argument("--draft_budget", type=int, default=257)
     p.add_argument("--max_gen", type=int, default=80)
     p.add_argument("--windows_per_sync", type=int, default=4)
+    p.add_argument("--paged", action="store_true",
+                   help="serve over a shared KV page POOL (PagedServing*: "
+                        "capacity = sum of request lengths, native "
+                        "PageAllocator page tables on device)")
+    p.add_argument("--page_size", type=int, default=2048)
+    p.add_argument("--total_pages", type=int, default=0,
+                   help="pool size in pages (0 = full B*npr capacity); "
+                        "below capacity, FCFS admission blocks on pages")
+    p.add_argument("--ragged", action="store_true",
+                   help="draw prompt lengths uniformly in "
+                        "[prefix_len//2, prefix_len] (paged capacity demo)")
     args = p.parse_args()
     common.apply_platform(args)
 
     from magicdec_tpu.engine.engine import EngineConfig
-    from magicdec_tpu.engine.serving import ServingEngine, ServingLongSpecEngine
+    from magicdec_tpu.engine.serving import (
+        PagedServingEngine, PagedServingLongSpecEngine, ServingEngine,
+        ServingLongSpecEngine)
     from magicdec_tpu.utils.seeding import setup_seed
 
     setup_seed(args.seed)
@@ -57,6 +70,7 @@ def main():
         prefill_chunk_size=min(512, prefix) if prefix % 512 == 0 or prefix % 128 == 0 else 128,
         max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
         cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
+        page_size=args.page_size,
         kv_quant=args.kv_quant or False,
         draft_quant=args.draft_quant or False,
         temperature=args.temperature, top_p=args.top_p)
@@ -64,23 +78,30 @@ def main():
     if args.draft_model or args.mode == "full":
         dparams, dcfg = common.load_params_and_config(
             args.draft_model or args.model)
-        engine = ServingLongSpecEngine(params, cfg, dparams, dcfg, ecfg)
+        cls = PagedServingLongSpecEngine if args.paged else ServingLongSpecEngine
+        engine = cls(params, cfg, dparams, dcfg, ecfg)
     else:
-        engine = ServingEngine(params, cfg, ecfg)
+        engine = (PagedServingEngine if args.paged else ServingEngine)(
+            params, cfg, ecfg)
 
     data = common.load_dataset(args, cfg.vocab_size)
-    prompts = [np.asarray(data[i % len(data), :prefix], np.int32)
+    lens = [prefix] * args.num_requests
+    if args.ragged:
+        lrng = np.random.RandomState(args.seed)
+        lens = [int(lrng.randint(prefix // 2, prefix + 1))
+                for _ in range(args.num_requests)]
+    prompts = [np.asarray(data[i % len(data), : lens[i]], np.int32)
                for i in range(args.num_requests)]
 
     # warmup: compile the windows/admit/encode programs on a short stream
-    engine.serve(prompts[: args.slots], B=args.slots,
-                 windows_per_sync=args.windows_per_sync,
-                 rng=common.sampling_rng(args))
+    serve_kw = dict(windows_per_sync=args.windows_per_sync,
+                    rng=common.sampling_rng(args))
+    if args.paged and args.total_pages:
+        serve_kw["total_pages"] = args.total_pages
+    engine.serve(prompts[: args.slots], B=args.slots, **serve_kw)
 
     t0 = time.perf_counter()
-    outs = engine.serve(prompts, B=args.slots,
-                        windows_per_sync=args.windows_per_sync,
-                        rng=common.sampling_rng(args))
+    outs = engine.serve(prompts, B=args.slots, **serve_kw)
     dt = time.perf_counter() - t0
     toks = int(sum(len(o) for o in outs))
     print(f"[serving] {args.num_requests} reqs x {prefix} ctx through "
@@ -92,8 +113,12 @@ def main():
         print(f"[serving] scheduler: mean queue {st['mean_queue_ms']:.1f}ms, "
               f"mean service {st['mean_service_ms']:.1f}ms "
               f"({st['served']} served)", file=sys.stderr)
+        if "total_pages" in st:
+            print(f"[serving] pages: {st['total_pages']} total, "
+                  f"min free {st['min_free_pages']}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"serving_{args.mode}_tokens_per_s_{args.model.split('/')[-1]}"
+        "metric": f"serving{'_paged' if args.paged else ''}_{args.mode}"
+                  f"_tokens_per_s_{args.model.split('/')[-1]}"
                   f"_slots{args.slots}_ctx{prefix}",
         "value": round(toks / dt, 2), "unit": "tok/s",
         "vs_baseline": 1.0,

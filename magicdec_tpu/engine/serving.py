@@ -521,3 +521,10 @@ class PagedServingEngine(ServingEngine):
                                  "total_pages": n_pages,
                                  "min_free_pages": min_free}
         return [results[i] for i in range(len(prompts))]
+
+
+class PagedServingLongSpecEngine(PagedServingEngine, LongSpecEngine):
+    """Paged continuous-batching serving with a standalone draft model
+    (reference execution mode 3 + the paged pool): pool/table lifecycle from
+    PagedServingEngine, draft model + encode paths (full / streamingllm /
+    snapkv draft cache) from LongSpecEngine."""

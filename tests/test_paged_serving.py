@@ -100,3 +100,22 @@ def test_paged_serving_sampled_matches_solo():
         st, stats = solo.generate(st)
         n = int(np.asarray(stats["num_committed"])[0])
         np.testing.assert_array_equal(out, np.asarray(stats["output"])[0, :n])
+
+
+def test_paged_serving_longspec_matches_solo():
+    """Standalone-draft paged serving (PagedServingLongSpecEngine)."""
+    from magicdec_tpu.engine.engine import LongSpecEngine
+    from magicdec_tpu.engine.serving import PagedServingLongSpecEngine
+    from tests.test_longspec import DRAFT_CFG, DRAFT_PARAMS
+
+    ecfg = _ecfg(max_gen=8)
+    prompts = _prompts([48, 96, 48], seed=19)
+    engine = PagedServingLongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG,
+                                        ecfg)
+    outs = engine.serve(prompts, B=2, windows_per_sync=2)
+    for prompt, out in zip(prompts, outs):
+        solo = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, ecfg)
+        st = solo.encode(jnp.asarray(prompt)[None])
+        st, stats = solo.generate(st)
+        n = int(np.asarray(stats["num_committed"])[0])
+        np.testing.assert_array_equal(out, np.asarray(stats["output"])[0, :n])
