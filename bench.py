@@ -94,6 +94,10 @@ def main():
                    help="quantize the DRAFT pass's weight copy (draft decode "
                         "is weight-HBM-bound; output still exactly matches "
                         "the full-precision target; default int8)")
+    p.add_argument("--quantize_embed", action="store_true",
+                   help="int8-quantize the embedding table (stored [D, V] "
+                        "with per-vocab scales; saves ~0.25GB at llama-3 "
+                        "vocab — part of the 32k/B=32 HBM plan)")
     p.add_argument("--kv_scale", default="f32", choices=["f32", "bf16"],
                    help="quantized-cache scale dtype (bf16 halves scale "
                         "memory/traffic; spec==AR parity unaffected)")
@@ -130,7 +134,13 @@ def main():
         Q.set_matmul_backend(args.quant_backend)
         if args.quantize:
             params = Q.quantize_params(params,
-                                       bits=8 if args.quantize == "int8" else 4)
+                                       bits=8 if args.quantize == "int8" else 4,
+                                       include_embed=args.quantize_embed)
+    if args.quantize_embed and not args.quantize:
+        from magicdec_tpu import quantization as Q
+
+        Q.set_matmul_backend(args.quant_backend)
+        params = dict(params, embed=Q.quantize_embed(params["embed"]))
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract

@@ -192,7 +192,29 @@ def head_argmax(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray
 def head_logits(params: Params, x_normed: jnp.ndarray) -> jnp.ndarray:
     if params.get("lm_head") is not None:
         return matmul(x_normed, params["lm_head"])
-    return x_normed @ params["embed"].T  # tied embeddings (llama-3.2-1b)
+    embed = params["embed"]
+    if is_quantized(embed):  # stored [D, V] (quantization.quantize_embed)
+        return quant_matmul(x_normed, embed)
+    return x_normed @ embed.T  # tied embeddings (llama-3.2-1b)
+
+
+def embed_lookup(params: Params, tokens: jnp.ndarray,
+                 dtype=None) -> jnp.ndarray:
+    """Input embedding rows for [B, T] tokens.
+
+    A quantized table (quantization.quantize_embed) is stored TRANSPOSED
+    [D, V] with per-vocab-column scales: token t's embedding is column t
+    times scale[0, t]; gathered int8 then dequantized, so the bf16 table
+    (~0.5 GB at llama-3 vocab) never exists in HBM."""
+    embed = params["embed"]
+    if is_quantized(embed):
+        cols = jnp.take(embed.q, tokens, axis=1)            # [D, B, T] int8
+        x = jnp.moveaxis(cols, 0, -1).astype(jnp.float32)   # [B, T, D]
+        s = embed.scale[0][tokens]                          # [B, T]
+        if dtype is None:
+            dtype = params["final_norm"].dtype
+        return (x * s[..., None].astype(jnp.float32)).astype(dtype)
+    return embed[tokens]
 
 
 def head_sample(params: Params, cfg: ModelConfig, x: jnp.ndarray,
@@ -250,7 +272,7 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     if head is None:
         head = "logits" if return_logits else "argmax"
     inv_freq = rope_inv_freq(cfg)
-    x = params["embed"][tokens]
+    x = embed_lookup(params, tokens)
     layer_attn = attn_hook_builder(cfg, inv_freq)
     x, new_caches, rows = scan_layers(params, cfg, x, caches, layer_attn)
     if finalize is not None:

@@ -174,9 +174,27 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
     return (yg * wq.scale.astype(x.dtype)).sum(axis=-2)
 
 
+def quantize_embed(embed: jnp.ndarray, bits: int = 8) -> QuantizedWeight:
+    """Quantize the embedding table, stored TRANSPOSED as [D, V] with
+    per-vocab-column scales — one format serves both consumers:
+
+    - tied head: ``quant_matmul(x, embed_q)`` directly (column scale = the
+      per-output-channel scheme);
+    - lookup: token t's row is column t times scale[0, t]
+      (models.llama.embed_lookup).
+
+    This is a memory feature the reference lacks (it quantizes nn.Linear
+    only): the bf16 table is ~0.5 GB at llama-3 vocab — part of what decides
+    whether 32k-context B=32 fits one chip's HBM.  int8 by default;
+    embeddings are quality-sensitive, so int4 is deliberately not offered.
+    """
+    return quantize_weight(embed.T, bits=bits)
+
+
 def quantize_params(params, bits: int = 8, group_size: int = None,
                     include_head: bool = True,
-                    materialize_tied_head: bool = False):
+                    materialize_tied_head: bool = False,
+                    include_embed: bool = False):
     """Quantize every linear layer weight (not embeddings/norms), like the
     reference's convert_for_runtime swapping all nn.Linear (quantize.py:44-49).
 
@@ -196,13 +214,18 @@ def quantize_params(params, bits: int = 8, group_size: int = None,
         if layers.get(key) is not None:
             layers[key] = quantize_weight(layers[key], bits, group_size=group_size)
     out = dict(params, layers=layers)
+    embed = params.get("embed")
+    embed_quantized = is_quantized(embed)
     if include_head:
-        if params.get("lm_head") is not None:
+        if params.get("lm_head") is not None and not is_quantized(params["lm_head"]):
             out["lm_head"] = quantize_weight(params["lm_head"], bits,
                                              group_size=group_size)
-        elif materialize_tied_head and params.get("embed") is not None:
-            out["lm_head"] = quantize_weight(params["embed"].T, bits,
+        elif (materialize_tied_head and params.get("lm_head") is None
+              and embed is not None and not embed_quantized):
+            out["lm_head"] = quantize_weight(embed.T, bits,
                                              group_size=group_size)
+    if include_embed and embed is not None and not embed_quantized:
+        out["embed"] = quantize_embed(embed)  # int8 always (see quantize_embed)
     return out
 
 

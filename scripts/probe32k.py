@@ -31,9 +31,15 @@ def main():
                    help="quantize the TARGET weights (self-spec draft shares "
                         "them) — the 32k/B=32 memory plan needs int4")
     p.add_argument("--kv_scale", default="bf16", choices=["f32", "bf16"])
+    p.add_argument("--quantize_embed", action="store_true")
     p.add_argument("--seq_round", type=int, default=512)
     p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--max_gen", type=int, default=16)
+    p.add_argument("--draft_budget", type=int, default=513)
+    p.add_argument("--prefill_chunk", type=int, default=512,
+                   help="smaller chunks shrink the [B, C, 2F] prefill "
+                        "activation transients (~0.5GiB at C=512/B=32) that "
+                        "tip 32k/B=32 over the HBM ceiling")
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -44,15 +50,17 @@ def main():
     params = make_params(cfg)
     if args.quantize:
         from magicdec_tpu import quantization as Q
-        params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
+        params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4,
+                                   include_embed=args.quantize_embed)
         args.draft_quant = None  # draft shares the quantized target weights
     kv = False if args.kv_quant == "none" else args.kv_quant
     seq_round = args.seq_round
     ecfg = EngineConfig(
-        mode="streamingllm", gamma=args.gamma, draft_budget=513,
+        mode="streamingllm", gamma=args.gamma, draft_budget=args.draft_budget,
         max_seq_len=((args.prefix + args.max_gen + args.gamma + 2 + seq_round - 1)
                      // seq_round) * seq_round,
-        chunk_size=128, prefill_chunk_size=512, max_gen=args.max_gen,
+        chunk_size=128, prefill_chunk_size=args.prefill_chunk,
+        max_gen=args.max_gen,
         eot_ids=(-1,), cache_dtype=jnp.bfloat16, attn_backend="flash",
         kv_quant=kv, draft_quant=args.draft_quant or False,
         kv_scale_dtype=(jnp.bfloat16 if args.kv_scale == "bf16"

@@ -233,3 +233,63 @@ def test_draft_quant_shared_head_matches_full_precision_greedy():
     for b in range(2):
         m = min(int(n[b]), 14)
         np.testing.assert_array_equal(out[b, :m], ref[b, :m])
+
+
+def test_quantized_embed_lookup_and_tied_head():
+    """quantize_embed stores [D, V] with per-vocab scales: lookup must equal
+    dequantized rows exactly, and the tied head must equal the dequantized
+    table's logits."""
+    rng = np.random.RandomState(0)
+    V, D = 96, 32
+    embed = jnp.asarray(rng.randn(V, D).astype(np.float32))
+    eq = Q.quantize_embed(embed)
+    assert eq.q.shape == (D, V)
+    deq = Q.dequantize_weight(eq, jnp.float32).T          # [V, D]
+
+    params = {"embed": eq, "final_norm": jnp.ones((D,), jnp.float32),
+              "lm_head": None}
+    toks = jnp.asarray(rng.randint(0, V, (2, 5)), jnp.int32)
+    got = M.embed_lookup(params, toks, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(deq[toks]),
+                               rtol=1e-6, atol=1e-6)
+    # embeddings survive int8 to ~1% relative error
+    rel = np.abs(np.asarray(deq) - np.asarray(embed)).max() / np.abs(embed).max()
+    assert rel < 0.02, rel
+
+    x = jnp.asarray(rng.randn(2, 3, D).astype(np.float32))
+    logits = M.head_logits(params, x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(x @ deq.T),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_embed_spec_matches_ar():
+    """Greedy spec == greedy AR on a model with a quantized embedding table
+    (target and draft share the table, so acceptance semantics are intact)."""
+    params = dict(PARAMS, embed=Q.quantize_embed(PARAMS["embed"]))
+    ecfg = EngineConfig(mode="streamingllm", gamma=3, draft_budget=33,
+                        max_seq_len=256, chunk_size=16, window_size=8,
+                        sink_size=4, max_gen=16, eot_ids=(-1,),
+                        cache_dtype=jnp.float32)
+    eng = SpecEngine(params, CFG, ecfg)
+    prompt = _prompt(2, 64)
+    st = eng.encode(prompt)
+    st, stats = eng.generate(st)
+    bst = eng.encode_baseline(prompt)
+    bst, bstats = eng.generate_baseline(bst, max_new=16)
+    n = np.asarray(stats["num_committed"])
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(stats["output"])[b, : min(int(n[b]), 16)],
+            np.asarray(bstats["output"])[b, : min(int(n[b]), 16)])
+
+
+def test_quantize_params_include_embed():
+    p = Q.quantize_params(PARAMS, bits=8, include_embed=True)
+    assert Q.is_quantized(p["embed"])
+    # a tied model whose embed is already quantized needs no materialized
+    # head: head_logits dispatches on the quantized table directly
+    tied = dict(PARAMS, embed=p["embed"], lm_head=None)
+    p2 = Q.quantize_params(tied, bits=8, include_embed=True,
+                           materialize_tied_head=True)
+    assert p2["embed"] is p["embed"]
+    assert p2.get("lm_head") is None
