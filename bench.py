@@ -144,11 +144,14 @@ def main():
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
-    # rounded to 512 only: _pick_block_s searches ALL 128-multiple divisors,
-    # so a 512-rounded cache still decodes at a >=2048-row KV block (e.g.
-    # S=8704 -> 2176-row int8 blocks), and the smaller rounding is what lets
-    # 32k ctx at B=32 fit the ~11GB usable HBM (CLAUDE.md)
-    seq_round = 512
+    # rounded to 512 for bf16/int8: _pick_block_s searches ALL 128-multiple
+    # divisors, so a 512-rounded cache still decodes at a >=2048-row KV block
+    # (e.g. S=8704 -> 2176-row int8 blocks) and the smaller rounding is what
+    # lets 32k ctx at B=32 fit the ~11GB usable HBM.  int4 keeps 2048-rounding:
+    # its kernel blocks are VMEM-capped at 2048 rows (nibble-unpack planes),
+    # and 512-rounded lengths like 8704 = 2^9*17 have no 128-multiple divisor
+    # in (512, 2048] — the cache padding is cheaper than 512-row blocks.
+    seq_round = 2048 if args.kv_quant == "int4" else 512
     gamma_max = 8 if args.gamma == 0 else args.gamma
 
     def build_engine(gamma):

@@ -177,8 +177,11 @@ def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches
         out = h + _mlp(rms_norm(h, wl["ffn_norm"], cfg.norm_eps), wl)
         return (out, caches, l + 1), rows
 
+    import os
+    unroll = int(os.environ.get("MAGICDEC_SCAN_UNROLL", "1"))  # perf A/B
     (x, new_caches, _), rows = jax.lax.scan(
-        body, (x, caches, jnp.zeros((), jnp.int32)), params["layers"])
+        body, (x, caches, jnp.zeros((), jnp.int32)), params["layers"],
+        unroll=unroll)
     return x, new_caches, rows
 
 

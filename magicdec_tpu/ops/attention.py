@@ -83,7 +83,7 @@ def attend_quant(q: jnp.ndarray, k_cache: jnp.ndarray, k_scale: jnp.ndarray,
     return attend(q, kd, vd, base_lens, causal=causal)
 
 
-def _pick_block_s(S: int, lane_bytes: int) -> int | None:
+def _pick_block_s(S: int, lane_bytes: int, budget: int = 2 * 1024 * 1024) -> int | None:
     """Largest KV block (sublane rows) that divides S and keeps one block
     under ~2 MiB of VMEM.
 
@@ -99,8 +99,14 @@ def _pick_block_s(S: int, lane_bytes: int) -> int | None:
     128, and the (B, 5)-step grid of [GT, hd]x[hd, 128] dots left the draft
     attend at 7x its bandwidth roofline — 6.0 of the 7.0 ms draft step at
     llama-3.2-1b B=32 budget=513 (scripts/profile_draft.py, v5e).
+
+    ``budget``: bytes of one raw KV block.  The int4 kernel passes 512 KiB
+    instead of the 2 MiB default because its per-block VMEM is ~8x the raw
+    block (double-buffered k+v packed blocks + FOUR bf16 nibble-unpack
+    planes): a 4352-row int4 block compiles to 16.9 MiB of scoped VMEM,
+    940 KiB over the 16 MiB hard limit (measured on v5e — the AOT compiler
+    rejects it).  512 KiB caps int4 blocks at the known-good 2048 rows.
     """
-    budget = 2 * 1024 * 1024
     if S % 8 == 0 and S * lane_bytes <= budget:
         return S
     # any 128-multiple divisor of S works (the kernels only require
@@ -129,7 +135,9 @@ def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
         if T <= 16:
             # decode/verify: bandwidth-bound, big KV blocks amortize the tiny
             # per-head dots (see _pick_block_s)
-            block_s = _pick_block_s(S, k_cache.shape[2])  # int8 lanes: 1 B
+            block_s = _pick_block_s(S, k_cache.shape[2],  # int8 lanes: 1 B
+                                    budget=(512 * 1024 if packed4
+                                            else 2 * 1024 * 1024))
             if block_s is not None:
                 from magicdec_tpu.ops.pallas import decode_attention as DA
                 fn = (DA.flash_decode_attend_quant4 if packed4
@@ -255,7 +263,9 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                          ks_new=fresh["ks"], vs_new=fresh["vs"]))
         if backend == "flash":
             if T <= 16:
-                block_s = _pick_block_s(S, k_cache.shape[3])
+                block_s = _pick_block_s(S, k_cache.shape[3],
+                                        budget=(512 * 1024 if packed4
+                                                else 2 * 1024 * 1024))
                 if block_s is not None:
                     from magicdec_tpu.ops.pallas import decode_attention as DA
                     fn = (DA.flash_decode_attend_quant4 if packed4

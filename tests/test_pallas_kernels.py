@@ -191,7 +191,11 @@ def test_pick_block_s_any_divisor():
     fits HBM with 512-rounding — S=33280 decodes at 6656-row int4 blocks)."""
     from magicdec_tpu.ops.attention import _pick_block_s
 
-    assert _pick_block_s(33280, 256) == 6656   # int4-packed lanes
+    assert _pick_block_s(33280, 256) == 6656   # raw 2MiB budget
+    # int4 kernels pass a 512KiB budget (4 bf16 nibble-unpack planes per
+    # block — 4352 rows measured 940KiB OVER the 16MiB scoped-VMEM limit)
+    assert _pick_block_s(33280, 256, budget=512 * 1024) == 1664
+    assert _pick_block_s(34816, 256, budget=512 * 1024) == 2048
     assert _pick_block_s(33280, 512) == 3328   # int8 lanes
     assert _pick_block_s(8704, 512) == 2176
     assert _pick_block_s(8704, 1024) == 512    # bf16 lanes: 2176/1088 not 128-multiples
