@@ -37,7 +37,7 @@ def main():
                    help="verify window gamma+1 for the decode kernels")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--which", default="all",
-                   choices=["all", "decode", "prefill", "append"])
+                   choices=["all", "decode", "prefill", "append", "paged"])
     args = p.parse_args()
 
     if args.platform:
@@ -171,6 +171,32 @@ def main():
                 ms = _chain(fn, args.iters, mk_state, (pos, rows, srows))() * 1e3
                 results[name] = round(ms, 3)
                 print(f"[kernel] {name:32s} {ms:8.3f} ms", file=sys.stderr)
+
+    if args.which in ("all", "paged"):
+        # page-table indirection cost vs the contiguous decode kernel at the
+        # same logical shape: one layer of pools, identity-permuted tables
+        from magicdec_tpu.ops.pallas import paged_attention as PGA
+
+        ps = 2048 if S % 2048 == 0 else block_s
+        npr = S // ps
+        perm = rng.permutation(B * npr).astype(np.int32)
+        table = jnp.asarray(perm.reshape(B, npr))
+        kp = jnp.zeros((1, B * npr, ps, Hkv * hd), dt)
+        vp = jnp.zeros((1, B * npr, ps, Hkv * hd), dt)
+        kp8 = jnp.zeros((1, B * npr, ps, Hkv * hd), jnp.int8)
+        sk8 = jnp.zeros((1, B * npr, Hkv, ps), jnp.float32)
+        for t in sorted({1, T}):
+            q = jnp.asarray(rng.randn(B, t, Hq, hd), dt)
+            lens = jnp.full((B,), S - t, jnp.int32)
+            bench(f"paged_decode_T{t}_flash",
+                  lambda x, kp, vp, tb, l: PGA.flash_paged_decode_attend(
+                      x, kp, vp, tb, l, layer=0, interpret=interp),
+                  q, kp, vp, table, lens)
+            bench(f"paged_decode_T{t}_int8_flash",
+                  lambda x, kp, sk, vp, sv, tb, l:
+                      PGA.flash_paged_decode_attend_quant(
+                          x, kp, sk, vp, sv, tb, l, layer=0, interpret=interp),
+                  q, kp8, sk8, kp8, sk8, table, lens)
 
     print(json.dumps({"metric": f"kernel_bench_{args.model}_B{B}_S{S}",
                       "value": results.get("decode_T1_flash", 0.0),
