@@ -167,11 +167,15 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
     if G == 1:
         y = x @ q.astype(x.dtype)
         return y * wq.scale[..., 0, :].astype(x.dtype)
-    # group-wise: contract within groups, scale per group, then sum groups
-    xg = x.reshape(*x.shape[:-1], G, In // G)
-    qg = q.reshape(*q.shape[:-2], G, In // G, out).astype(x.dtype)
-    yg = jnp.einsum("...Gg,Ggo->...Go", xg, qg)
-    return (yg * wq.scale.astype(x.dtype)).sum(axis=-2)
+    # group-wise: dequantize (scale per group) then ONE dot.  The obvious
+    # alternative — G per-group dots summed — leaves the MXU at tiny
+    # 128-deep contractions and was the dominant cost of int4-weight
+    # prefill (the 64 MB dequantized block here is a transient XLA fuses
+    # into the dot's weight stream).
+    q3 = q.reshape(*q.shape[:-2], G, In // G, out)
+    wdeq = (q3.astype(jnp.float32)
+            * wq.scale[..., :, None, :]).astype(x.dtype)
+    return x @ wdeq.reshape(*q.shape[:-2], In, out)
 
 
 def quantize_embed(embed: jnp.ndarray, bits: int = 8) -> QuantizedWeight:
