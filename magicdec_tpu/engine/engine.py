@@ -106,6 +106,21 @@ class EngineConfig:
                                        # w1|w3 into single dots at init
                                        # (models.llama.fuse_exec_params;
                                        # bit-identical, fewer small kernels)
+    prefill_max_call_tokens: int = 8192  # > 0: split prefill across multiple
+                                       # device calls of at most this many
+                                       # tokens each (donated cache state, so
+                                       # no copies).  The monolithic
+                                       # one-program encode hard-crashes the
+                                       # remote TPU worker when a single
+                                       # call's EXECUTION runs too long
+                                       # (measured: 32k ctx at B=32 — a 64
+                                       # x 512-chunk scan, minutes of device
+                                       # time — dies; the identical work as
+                                       # 8-chunk calls passes).  Only
+                                       # activates for meshless streamingllm
+                                       # self-spec with prefix > this value
+                                       # (and any baseline encode); 0 forces
+                                       # the single-program encode.
     page_size: int = 2048              # paged serving (PagedServingEngine)
                                        # page rows.  TPU-native paging wants
                                        # BIG pages: the page is the decode
@@ -332,9 +347,32 @@ class SpecEngine:
         identity (defaults to arange(B); serving passes request ids)."""
         B, prefix = input_ids.shape
         rng, salt = self._sampling_args(B, rng, salt)
+        part = self._split_part_size(prefix)
+        if part is not None:
+            return self._encode_split(jnp.asarray(input_ids, jnp.int32),
+                                      rng, salt, part)
         fn = self._encode_fn(B, prefix)
         return fn(self.params, self._draft_arg(),
                   jnp.asarray(input_ids, jnp.int32), rng, salt)
+
+    def _split_part_size(self, prefix: int):
+        """Tokens per device call for split prefill, or None for the
+        monolithic single-program encode.  Split applies when
+        EngineConfig.prefill_max_call_tokens > 0, the engine is meshless
+        streamingllm self-spec, and the prefix divides into equal parts that
+        are multiples of both chunk sizes (bench shapes always do)."""
+        e = self.ecfg
+        if (not e.prefill_max_call_tokens or self.mesh is not None
+                or e.mode != "streamingllm" or not self._SELF_SPEC):
+            return None
+        C = e.chunk_size
+        Cp = e.prefill_chunk_size or C
+        import math
+        lcm = Cp * C // math.gcd(Cp, C)
+        part = (e.prefill_max_call_tokens // lcm) * lcm
+        if part <= 0 or prefix % lcm != 0 or prefix <= part:
+            return None
+        return part
 
     def _draft_arg(self):
         """The draft pass's weights, passed as an explicit jit ARGUMENT
@@ -459,6 +497,113 @@ class SpecEngine:
             db_update=jnp.ones((B,), jnp.int32),
             rng=rng, salt=salt,
         )
+
+    # ------------------------------------------------------------------
+    # split prefill: several donated device calls instead of one program
+    # (EngineConfig.prefill_max_call_tokens — a single call whose execution
+    # runs for minutes hard-crashes the remote worker; measured at 32k/B=32)
+    # ------------------------------------------------------------------
+
+    def _encode_split(self, tokens, rng, salt, part: int) -> SpecState:
+        B, prefix = tokens.shape
+        tcaches, dcaches = self._zero_caches(B)
+        quant = tcaches.get("ks") is not None
+        state = [tcaches["k"], tcaches["v"]]
+        if quant:
+            state += [tcaches["ks"], tcaches["vs"]]
+        state += [dcaches["dk"], dcaches["dv"],
+                  jnp.zeros((B,), jnp.int32),                 # lens
+                  jnp.zeros((), jnp.int32),                   # draft fill
+                  jnp.zeros((B, self.cfg.dim),
+                            self.params["final_norm"].dtype)]  # x_last
+        n_parts, rem = divmod(prefix, part)
+        fn = self._prefill_part_fn(B, part)
+        for i in range(n_parts):
+            state = list(fn(self.params, self._draft_arg(),
+                            tokens[:, i * part:(i + 1) * part], *state))
+        if rem:
+            state = list(self._prefill_part_fn(B, rem)(
+                self.params, self._draft_arg(), tokens[:, n_parts * part:],
+                *state))
+        return self._encode_tail_fn(B)(self.params, rng, salt, *state)
+
+    @functools.lru_cache(maxsize=16)
+    def _prefill_part_fn(self, B: int, T: int):
+        """One split-prefill device call: target scan over T//Cp chunks +
+        streaming-draft scan over T//C chunks, cache state donated."""
+        e, cfg = self.ecfg, self.cfg
+        C = e.chunk_size
+        Cp = e.prefill_chunk_size or C
+        assert T % Cp == 0 and T % C == 0, (T, Cp, C)
+        quant = bool(e.kv_quant)
+
+        def part(params, dparams, toks, *state):
+            if quant:
+                k, v, ks, vs, dk, dv, lens, fill, x_last = state
+                caches = {"k": k, "v": v, "ks": ks, "vs": vs}
+            else:
+                k, v, dk, dv, lens, fill, x_last = state
+                caches = {"k": k, "v": v}
+            xs = jnp.moveaxis(toks.reshape(B, T // Cp, Cp), 1, 0)
+
+            def tbody(carry, chunk):
+                caches, lens = carry
+                x, caches = M.forward_target(params, cfg, chunk, lens, caches,
+                                             head="none",
+                                             backend=self._backend_t)
+                return (caches, lens + Cp), x[:, -1]
+
+            (caches, lens), last_h = jax.lax.scan(tbody, (caches, lens), xs)
+            x_last = last_h[-1]
+
+            dparams2 = params if dparams is None else dparams
+            dcfg = self._draft_cfg()
+            dcaches = {"dk": dk, "dv": dv}
+            xsd = jnp.moveaxis(toks.reshape(B, T // C, C), 1, 0)
+
+            def dbody(carry, chunk):
+                dcaches, fill = carry
+                _, dcaches = M.forward_streaming_draft_chunk(
+                    dparams2, dcfg, chunk, fill, dcaches,
+                    budget=e.draft_budget, sink=e.sink_size)
+                return (dcaches, jnp.minimum(fill + C, e.draft_budget)), None
+
+            (dcaches, fill), _ = jax.lax.scan(dbody, (dcaches, fill), xsd)
+            out = [caches["k"], caches["v"]]
+            if quant:
+                out += [caches["ks"], caches["vs"]]
+            out += [dcaches["dk"], dcaches["dv"], lens, fill, x_last]
+            return tuple(out)
+
+        n_cache = 6 if quant else 4
+        return jax.jit(part, donate_argnums=tuple(range(3, 3 + n_cache)))
+
+    @functools.lru_cache(maxsize=8)
+    def _encode_tail_fn(self, B: int):
+        """head token + draft-cache finalize + fresh SpecState (split encode)."""
+        e = self.ecfg
+        quant = bool(e.kv_quant)
+
+        def tail(params, rng, salt, *state):
+            if quant:
+                k, v, ks, vs, dk, dv, lens, fill, x_last = state
+                caches = {"k": k, "v": v, "ks": ks, "vs": vs}
+            else:
+                k, v, dk, dv, lens, fill, x_last = state
+                caches = {"k": k, "v": v}
+            token0 = self._head_token(params, x_last, rng, salt)
+            dcaches = M.streaming_finalize_draft(self._draft_cfg(),
+                                                 {"dk": dk, "dv": dv},
+                                                 budget=e.draft_budget)
+            draft_fill = jnp.broadcast_to(jnp.minimum(fill, e.draft_budget),
+                                          (B,)).astype(jnp.int32)
+            caches = {**caches, **dcaches}
+            return self._fresh_state(caches, lens, token0,
+                                     draft_fill=draft_fill,
+                                     draft_pos=draft_fill, rng=rng, salt=salt)
+
+        n_cache = 6 if quant else 4
+        return jax.jit(tail, donate_argnums=tuple(range(3, 3 + n_cache)))
 
     # ------------------------------------------------------------------
     # speculative generation (one jitted while_loop)
@@ -677,8 +822,89 @@ class SpecEngine:
                         salt=None) -> BaselineState:
         B, prefix = input_ids.shape
         rng, salt = self._sampling_args(B, rng, salt)
+        e = self.ecfg
+        C = e.prefill_chunk_size or e.chunk_size
+        part = 0
+        if e.prefill_max_call_tokens and self.mesh is None:
+            part = (e.prefill_max_call_tokens // C) * C
+        if part and prefix % C == 0 and prefix > part:
+            return self._encode_baseline_split(
+                jnp.asarray(input_ids, jnp.int32), rng, salt, part)
         fn = self._encode_baseline_fn(B, prefix)
         return fn(self.params, jnp.asarray(input_ids, jnp.int32), rng, salt)
+
+    def _encode_baseline_split(self, tokens, rng, salt, part: int) -> BaselineState:
+        """Split baseline prefill (see _encode_split)."""
+        B, prefix = tokens.shape
+        caches = self._zero_target_caches(B)
+        quant = caches.get("ks") is not None
+        state = [caches["k"], caches["v"]]
+        if quant:
+            state += [caches["ks"], caches["vs"]]
+        state += [jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B, self.cfg.dim), self.params["final_norm"].dtype)]
+        n_parts, rem = divmod(prefix, part)
+        fn = self._baseline_part_fn(B, part)
+        for i in range(n_parts):
+            state = list(fn(self.params, tokens[:, i * part:(i + 1) * part],
+                            *state))
+        if rem:
+            state = list(self._baseline_part_fn(B, rem)(
+                self.params, tokens[:, n_parts * part:], *state))
+        return self._baseline_tail_fn(B)(self.params, rng, salt, *state)
+
+    @functools.lru_cache(maxsize=16)
+    def _baseline_part_fn(self, B: int, T: int):
+        e, cfg = self.ecfg, self.cfg
+        C = e.prefill_chunk_size or e.chunk_size
+        assert T % C == 0
+        quant = bool(e.kv_quant)
+
+        def part(params, toks, *state):
+            if quant:
+                k, v, ks, vs, lens, x_last = state
+                caches = {"k": k, "v": v, "ks": ks, "vs": vs}
+            else:
+                k, v, lens, x_last = state
+                caches = {"k": k, "v": v}
+            xs = jnp.moveaxis(toks.reshape(B, T // C, C), 1, 0)
+
+            def body(carry, chunk):
+                caches, lens = carry
+                x, caches = M.forward_target(params, cfg, chunk, lens, caches,
+                                             head="none",
+                                             backend=self._backend_t)
+                return (caches, lens + C), x[:, -1]
+
+            (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
+            out = [caches["k"], caches["v"]]
+            if quant:
+                out += [caches["ks"], caches["vs"]]
+            return tuple(out + [lens, last_h[-1]])
+
+        n_cache = 4 if quant else 2
+        return jax.jit(part, donate_argnums=tuple(range(2, 2 + n_cache)))
+
+    @functools.lru_cache(maxsize=8)
+    def _baseline_tail_fn(self, B: int):
+        quant = bool(self.ecfg.kv_quant)
+
+        def tail(params, rng, salt, *state):
+            if quant:
+                k, v, ks, vs, lens, x_last = state
+            else:
+                k, v, lens, x_last = state
+                ks = vs = None
+            token0 = self._head_token(params, x_last, rng, salt)
+            output = jnp.zeros((B, self._out_cap), jnp.int32)
+            output = spec_ops.write_at(output, jnp.zeros((B,), jnp.int32), token0)
+            return BaselineState(ks=ks, vs=vs, k=k, v=v, lens=lens,
+                                 token0=token0, output=output,
+                                 num_committed=jnp.ones((B,), jnp.int32),
+                                 rng=rng, salt=salt)
+
+        n_cache = 4 if quant else 2
+        return jax.jit(tail, donate_argnums=tuple(range(3, 3 + n_cache)))
 
     @functools.lru_cache(maxsize=8)
     def _encode_baseline_fn(self, B: int, prefix: int):

@@ -161,3 +161,48 @@ def test_prefill_chunk_remainder(mode, prefix):
     for ref_b, out_b in zip(spec_tokens(eng_ref), spec_tokens(eng_cp)):
         m = min(len(ref_b), len(out_b))
         np.testing.assert_array_equal(ref_b[:m], out_b[:m])
+
+
+def test_split_prefill_encode_matches_monolithic():
+    """EngineConfig.prefill_max_call_tokens: the multi-call donated prefill
+    must reproduce the single-program encode bit-exactly (same chunk
+    boundaries, same kernels — only the jit call structure differs), for the
+    spec AND baseline paths, dense and quantized caches."""
+    import dataclasses
+
+    for kv_quant in (False, "int8"):
+        mono = dataclasses.replace(_ecfg_obj(), prefill_max_call_tokens=0,
+                                   kv_quant=kv_quant)
+        split = dataclasses.replace(mono, prefill_max_call_tokens=48)
+        e_mono = SpecEngine(PARAMS, CFG, mono)
+        e_split = SpecEngine(PARAMS, CFG, split)
+        prompt = _prompt(2, 96)
+        assert e_split._split_part_size(96) == 48
+
+        st_m = e_mono.encode(prompt)
+        st_s = e_split.encode(prompt)
+        np.testing.assert_array_equal(np.asarray(st_m.token0),
+                                      np.asarray(st_s.token0))
+        for f in ("k", "v", "dk", "dv", "target_lens", "draft_fill"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_m, f), np.float32),
+                np.asarray(getattr(st_s, f), np.float32), err_msg=f)
+
+        st_m, stats_m = e_mono.generate(st_m)
+        st_s, stats_s = e_split.generate(st_s)
+        np.testing.assert_array_equal(np.asarray(stats_m["output"]),
+                                      np.asarray(stats_s["output"]))
+
+        bm = e_mono.encode_baseline(prompt)
+        bs = e_split.encode_baseline(prompt)
+        np.testing.assert_array_equal(np.asarray(bm.token0),
+                                      np.asarray(bs.token0))
+        np.testing.assert_array_equal(np.asarray(bm.k, np.float32),
+                                      np.asarray(bs.k, np.float32))
+
+
+def _ecfg_obj():
+    return EngineConfig(mode="streamingllm", gamma=3, draft_budget=33,
+                        max_seq_len=256, chunk_size=16, prefill_chunk_size=48,
+                        window_size=8, sink_size=4, max_gen=16, eot_ids=(-1,),
+                        cache_dtype=jnp.float32)
