@@ -31,9 +31,9 @@ LADDER = [
                           "--gamma", "4"]),
     ("24k/B24 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "24576",
                           "--B", "24", "--gamma", "4", "--kv_scale", "bf16"]),
-    ("32k/B20 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "32768",
-                          "--B", "20", "--gamma", "4", "--kv_scale", "bf16",
-                          "--draft_head", "shared"]),
+    ("32k/B32 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "32768",
+                          "--B", "32", "--gamma", "4", "--kv_scale", "bf16",
+                          "--draft_head", "shared", "--iters", "2"]),
 ]
 QUICK = LADDER[1:2]
 SMOKE = [("smoke", ["--platform", "cpu", "--model", "llama-68m", "--B", "2",
