@@ -392,6 +392,115 @@ def _decode_call(kernel, q, k4, v4, layer_arr, base_lens, *, Kq, block_s,
     )(layer_arr, lens, q, k4, v4, *extras, *fresh_ops)
 
 
+def _whole_row_kernel(layer_ref, lens_ref, q_ref, k_ref, v_ref, *rest,
+                      T: int, bb: int, scale: float, n_kv: int, hd: int,
+                      fresh: bool):
+    """Whole-cache-row decode for ``bb`` requests per grid cell.
+
+    Draft/budget caches fit one KV block (S <= ~640 rows), so the blocked
+    kernel degenerates to grid (B, 1) — 32 sequential cells each doing a few
+    microseconds of tiny per-head dots, leaving the call ~5x its bandwidth
+    floor in per-cell fixed costs (measured 1.96 ms of a 4.4 ms draft step
+    at B=32, scripts/profile_draft.py).  Packing bb requests per cell cuts
+    the cell count bb-fold; softmax runs with LOCAL online accumulators (two
+    sub-blocks: cache + fresh) so no cross-cell scratch is needed."""
+    if fresh:
+        kn_ref, vn_ref, o_ref = rest
+    else:
+        o_ref, = rest
+    g = pl.program_id(0)
+    GT = q_ref.shape[1]
+    S = k_ref.shape[2]
+
+    for i in range(bb):
+        base = lens_ref[g * bb + i]
+        col = jax.lax.broadcasted_iota(jnp.int32, (GT, S), 1)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (GT, S), 0) % T
+        visible = col < (base if fresh else base + row_t + 1)
+        if fresh:
+            Tp = kn_ref.shape[1]
+            colT = jax.lax.broadcasted_iota(jnp.int32, (GT, Tp), 1)
+            rowT = jax.lax.broadcasted_iota(jnp.int32, (GT, Tp), 0) % T
+            visT = (colT <= rowT) & (colT < T)
+        for h in range(n_kv):
+            q = q_ref[i, :, h * hd:(h + 1) * hd]              # [GT, hd]
+            k = k_ref[0, i, :, h * hd:(h + 1) * hd]           # [S, hd]
+            v = v_ref[0, i, :, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(visible, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            if fresh:
+                kn = kn_ref[i, :, h * hd:(h + 1) * hd]
+                vn = vn_ref[i, :, h * hd:(h + 1) * hd]
+                sn = jax.lax.dot_general(q, kn, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32) * scale
+                sn = jnp.where(visT, sn, NEG_INF)
+                m = jnp.maximum(m, jnp.max(sn, axis=-1, keepdims=True))
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            if fresh:
+                pn = jnp.exp(sn - m)
+                l = l + jnp.sum(pn, axis=-1, keepdims=True)
+                acc = acc + jax.lax.dot_general(pn.astype(vn.dtype), vn,
+                                                (((1,), (0,)), ((), ())),
+                                                preferred_element_type=jnp.float32)
+            o_ref[i, :, h * hd:(h + 1) * hd] = (
+                acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _whole_row_call(q, k4, v4, layer_arr, base_lens, *, T, n_kv, hd,
+                    interpret, fresh_ops=()):
+    """Grid (B/bb,) whole-row dispatch (see _whole_row_kernel)."""
+    B, GT, K = q.shape
+    S = k4.shape[2]
+    esz = jnp.dtype(k4.dtype).itemsize
+    bb = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * S * K * esz * 2 * 2 <= 8 * 1024 * 1024:
+            bb = cand
+            break
+    lens = base_lens.astype(jnp.int32)
+    fresh = bool(fresh_ops)
+    if fresh:
+        T_new = fresh_ops[0].shape[1]
+        Tp = max(T_new, 8)
+        if Tp != T_new:
+            fresh_ops = tuple(jnp.pad(x, ((0, 0), (0, Tp - T_new), (0, 0)))
+                              for x in fresh_ops)
+
+    def q_map(g, layer_ref, lens_ref):
+        return (g, 0, 0)
+
+    def kv_map(g, layer_ref, lens_ref):
+        return (layer_ref[0], g, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((bb, GT, K), q_map),
+        pl.BlockSpec((1, bb, S, K), kv_map),
+        pl.BlockSpec((1, bb, S, K), kv_map),
+    ]
+    if fresh:
+        in_specs += [pl.BlockSpec((bb, fresh_ops[0].shape[1], K), q_map)] * 2
+    kernel = functools.partial(_whole_row_kernel, T=T, bb=bb,
+                               scale=1.0 / (hd ** 0.5), n_kv=n_kv, hd=hd,
+                               fresh=fresh)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, GT, K), q_map),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, GT, K), q.dtype),
+        interpret=interpret,
+    )(layer_arr, lens, q, k4, v4, *fresh_ops)
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
 def flash_decode_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                         base_lens: jnp.ndarray, *, layer=None,
@@ -412,12 +521,19 @@ def flash_decode_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
     K = k4.shape[3]
     Hkv = K // hd
     G = Hq // Hkv
-    assert k4.shape[2] % block_s == 0, (k4.shape, block_s)
+    S = k4.shape[2]
+    assert S % block_s == 0, (k4.shape, block_s)
     fresh = k_new is not None
     fresh_ops = ((k_new.reshape(B, T, K).astype(q.dtype),
                   v_new.reshape(B, T, K).astype(q.dtype)) if fresh else ())
 
     qg = _pack_q(q, Hkv, K)
+    if block_s == S and B % 2 == 0:
+        # budget-sized caches: grid over request GROUPS, not (B, 1) cells
+        out = _whole_row_call(qg, k4, v4, layer_arr, base_lens, T=T,
+                              n_kv=Hkv, hd=hd, interpret=interpret,
+                              fresh_ops=fresh_ops)
+        return _unpack_o(out, Hkv, G, T, hd)
     kernel = functools.partial(_decode_kernel, T=T, block_s=block_s,
                                scale=1.0 / (hd ** 0.5), n_kv=Hkv, hd=hd,
                                fresh=fresh)

@@ -216,3 +216,48 @@ def test_flash_decode_non_pow2_block():
         out = flash_decode_attend(q, k, v, base, block_s=block_s, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("T,fresh", [(1, False), (4, False), (1, True), (4, True)])
+def test_whole_row_multi_request_kernel(T, fresh):
+    """block_s == S with even B takes the request-grouped whole-row kernel
+    (grid B/bb, local softmax) — must match the oracle exactly like the
+    blocked path."""
+    rng = np.random.RandomState(11)
+    B, Hkv, G, S, hd = 4, 2, 2, 256, 64
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([17, 100, 0 if fresh else 3, S - T], jnp.int32)
+    kw = {}
+    if fresh:
+        kn = jnp.asarray(rng.randn(B, T, Hkv * hd), jnp.float32)
+        vn = jnp.asarray(rng.randn(B, T, Hkv * hd), jnp.float32)
+        kw = dict(k_new=kn, v_new=vn)
+        ref_k, ref_v = k, v
+        for b in range(B):
+            ref_k = ref_k.at[b, base[b]:base[b] + T].set(kn[b])
+            ref_v = ref_v.at[b, base[b]:base[b] + T].set(vn[b])
+        ref = attend(q, ref_k, ref_v, base, causal=True)
+    else:
+        ref = attend(q, k, v, base, causal=True)
+    out = flash_decode_attend(q, k, v, base, block_s=S, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_whole_row_layered_matches_blocked():
+    """Layer-stacked cache through the whole-row path == blocked path."""
+    rng = np.random.RandomState(12)
+    L, B, Hkv, G, S, hd, T = 3, 4, 2, 2, 256, 64, 2
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(L, B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(L, B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([7, 31, 100, S - T], jnp.int32)
+    for l in range(L):
+        whole = flash_decode_attend(q, k, v, base, layer=l, block_s=S,
+                                    interpret=True)
+        blocked = flash_decode_attend(q, k, v, base, layer=l, block_s=64,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(whole), np.asarray(blocked),
+                                   atol=2e-5, rtol=2e-5)
