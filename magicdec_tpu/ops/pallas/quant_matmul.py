@@ -104,7 +104,14 @@ def quant_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     gsz = group_size if G > 1 else In
     block_in = min(block_in, In)
     if G == 1:
-        block_in = In  # per-column scales: one in-block, scale row block (1, .)
+        # int8 per-column scales are constant along the contraction: any
+        # in-block that divides In is valid (the kernel re-applies the same
+        # column scale to each partial sum).  Huge single blocks blow scoped
+        # VMEM — In=14336 as one block compiles to 36 MiB (llama-3.1-8b w2).
+        # int4's nibble plane slicing assumes group == block, so it keeps
+        # one block (int4 is group-wise in practice).
+        if bits != 8 or In % block_in != 0:
+            block_in = In
     else:
         # the scale operand blocks as (block_in // gsz, block_out); Mosaic
         # requires its sublane block dim divisible by 8 OR equal to G, so a

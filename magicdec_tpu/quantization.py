@@ -137,6 +137,15 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
         # operand): decode/verify shapes only — prefill chunks (M = B*C) use
         # the jnp path, where XLA fuses the dequant cast into the matmul
         if M <= 1024 and In % 512 == 0 and Out % 256 == 0:
+            # per-channel (G==1) scales are constant along the contraction,
+            # so the accumulator grid may split the in axis too: cap blocks
+            # at 4096 rows — In=14336 (llama-3.1-8b w2) as ONE block compiles
+            # to 36 MiB of scoped VMEM, 2.3x the 16 MiB hard limit
+            def in_block_cap(In):
+                for cand in (4096, 2048, 1024, 512):
+                    if In % cand == 0:
+                        return cand
+                return In
             # Blocking: the whole contraction axis per block (one accumulator
             # pass), then the widest output block that keeps one weight block
             # ~<= 2 MiB.  Small blocks are the draft step's dominant cost:
@@ -145,7 +154,7 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
             # measured ~2x draft roofline gap, COVERAGE.md); 2 MiB blocks cut
             # the step count ~10x at unchanged VMEM (<= 2 blocks in flight
             # + M rows of x/out).
-            block_in = In
+            block_in = in_block_cap(In)
             w_bytes_per_out = block_in * (1 if wq.bits == 8 else 0.5)
             block_out = 256  # always divides (guard above) and is lane-tiled
             for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384):
