@@ -141,8 +141,12 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
             # so the accumulator grid may split the in axis too: cap blocks
             # at 4096 rows — In=14336 (llama-3.1-8b w2) as ONE block compiles
             # to 36 MiB of scoped VMEM, 2.3x the 16 MiB hard limit
+            # cap at 2048 (the known-good llama-3.2-1b whole-In shape): the
+            # kernel's in-VMEM bf16 cast of the weight block doubles its
+            # footprint, and 4096-row blocks still compiled 4 MiB over the
+            # scoped limit at the 8B shapes
             def in_block_cap(In):
-                for cand in (4096, 2048, 1024, 512):
+                for cand in (2048, 1024, 512):
                     if In % cand == 0:
                         return cand
                 return In
