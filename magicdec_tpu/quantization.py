@@ -136,7 +136,12 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
         # the kernel keeps all M rows in VMEM (weights are the streamed
         # operand): decode/verify shapes only — prefill chunks (M = B*C) use
         # the jnp path, where XLA fuses the dequant cast into the matmul
-        if M <= 1024 and In % 512 == 0 and Out % 256 == 0:
+        # decode/verify row counts only (B * (gamma+1) <= ~256): the kernel
+        # keeps all M rows of x AND an [M, block_out] f32 accumulator in
+        # VMEM, so prefill-sized M (e.g. the 8B draft prefill's B=8 x C=128
+        # = 1024 rows) compiles 4 MiB over the scoped limit; large M uses
+        # the jnp path where XLA fuses the dequant cast into the dot
+        if M <= 256 and In % 512 == 0 and Out % 256 == 0:
             # per-channel (G==1) scales are constant along the contraction,
             # so the accumulator grid may split the in axis too: cap blocks
             # at 4096 rows — In=14336 (llama-3.1-8b w2) as ONE block compiles
