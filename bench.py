@@ -79,6 +79,13 @@ def main():
     p.add_argument("--iters", type=int, default=3,
                    help="measured decode repetitions (best-of; >1 guards "
                         "against a one-off slow relay round trip)")
+    p.add_argument("--protocol", default="best", choices=["best", "steady"],
+                   help="best: best-of --iters repeats of one batch (guards "
+                        "against slow relay round trips).  steady: the "
+                        "reference's steady-state protocol (selfspec_benchmark"
+                        ".py:224-231 — N batches, timers reset after warmup): "
+                        "--iters DISTINCT prompt batches after the compile "
+                        "batch, reported as the mean")
     p.add_argument("--prefill_chunk", type=int, default=512)
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None)
@@ -173,10 +180,13 @@ def main():
     engine = build_engine(gamma)
 
     rng = np.random.RandomState(0)
-    prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (args.B, prefix)), jnp.int32)
+    prompts = [jnp.asarray(rng.randint(0, cfg.vocab_size, (args.B, prefix)),
+                           jnp.int32)
+               for _ in range(args.iters if args.protocol == "steady" else 1)]
+    prompt = prompts[0]
 
-    def run_spec():
-        st = engine.encode(prompt)
+    def run_spec(prompt=None):
+        st = engine.encode(prompts[0] if prompt is None else prompt)
         int(np.asarray(st.token0)[0])  # force completion (block_until_ready
                                        # does not synchronize through the
                                        # remote-device relay)
@@ -188,8 +198,8 @@ def main():
         steps = int(stats["target_steps"])
         return gen / dt, gen, steps, dt
 
-    def run_baseline():
-        st = engine.encode_baseline(prompt)
+    def run_baseline(prompt=None):
+        st = engine.encode_baseline(prompts[0] if prompt is None else prompt)
         int(np.asarray(st.token0)[0])
         t0 = time.perf_counter()
         st, stats = engine.generate_baseline(st, max_new=args.max_gen)
@@ -220,17 +230,36 @@ def main():
             gamma = g_star
             engine = build_engine(gamma)
             run_spec()  # compile at the chosen gamma
-    spec = max(run_spec() for _ in range(args.iters))
-    base = max(run_baseline() for _ in range(args.iters))
+    if args.protocol == "steady":
+        # reference steady-state: fresh prompt batches, mean over the
+        # post-warmup batches (the warmup/compile batch is excluded above)
+        spec_runs = [run_spec(p) for p in prompts]
+        base_runs = [run_baseline(p) for p in prompts]
+        gen = sum(r[1] for r in spec_runs)
+        steps = sum(r[2] for r in spec_runs)
+        dt = sum(r[3] for r in spec_runs)
+        spec = (gen / dt, gen, steps, dt)
+        base = (sum(r[1] for r in base_runs) / sum(r[2] for r in base_runs),
+                sum(r[1] for r in base_runs), sum(r[2] for r in base_runs))
+    else:
+        spec = max(run_spec() for _ in range(args.iters))
+        base = max(run_baseline() for _ in range(args.iters))
 
     spec_tps, gen, steps, dt = spec
     base_tps = base[0]
     accept = gen / max(steps, 1) / args.B  # committed tokens per target step
+    # tokenwise latency: wall time per generated token per request (the
+    # reference publishes throughput AND this latency,
+    # static/js/plots/throughput_latency.js)
+    spec_lat_ms = dt / (gen / args.B) * 1e3
+    base_lat_ms = base[2] / (base[1] / args.B) * 1e3
     print(f"[bench] mode={args.mode} B={args.B} prefix={prefix} gamma={gamma} "
-          f"budget={args.draft_budget}", file=sys.stderr)
+          f"budget={args.draft_budget} protocol={args.protocol}", file=sys.stderr)
     print(f"[bench] spec: {spec_tps:.1f} tok/s ({gen} tok in {dt:.3f}s, "
-          f"{steps} target steps, {accept:.2f} tokens/step/seq)", file=sys.stderr)
-    print(f"[bench] autoregressive: {base_tps:.1f} tok/s", file=sys.stderr)
+          f"{steps} target steps, {accept:.2f} tokens/step/seq, "
+          f"{spec_lat_ms:.2f} ms/token)", file=sys.stderr)
+    print(f"[bench] autoregressive: {base_tps:.1f} tok/s "
+          f"({base_lat_ms:.2f} ms/token)", file=sys.stderr)
 
     qtag = f"_{args.quantize}" if args.quantize else ""
     qtag += f"_kvq{args.kv_quant[3:]}" if args.kv_quant else ""
@@ -240,6 +269,9 @@ def main():
         "value": round(spec_tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(spec_tps / base_tps, 4),
+        "latency_ms_per_token": round(spec_lat_ms, 3),
+        "baseline_latency_ms_per_token": round(base_lat_ms, 3),
+        "tokens_per_step": round(accept, 3),
     }))
 
 

@@ -506,6 +506,11 @@ class SpecEngine:
 
     def _encode_split(self, tokens, rng, salt, part: int) -> SpecState:
         B, prefix = tokens.shape
+        e = self.ecfg
+        # same capacity contract as _encode_fn: without it an over-capacity
+        # prefix would silently clamp-truncate appends at the cache end
+        assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
+            "max_seq_len too small for prefix + generation"
         tcaches, dcaches = self._zero_caches(B)
         quant = tcaches.get("ks") is not None
         state = [tcaches["k"], tcaches["v"]]
@@ -836,6 +841,9 @@ class SpecEngine:
     def _encode_baseline_split(self, tokens, rng, salt, part: int) -> BaselineState:
         """Split baseline prefill (see _encode_split)."""
         B, prefix = tokens.shape
+        e = self.ecfg
+        assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
+            "max_seq_len too small for prefix + generation"
         caches = self._zero_target_caches(B)
         quant = caches.get("ks") is not None
         state = [caches["k"], caches["v"]]

@@ -313,6 +313,16 @@ class PagedServingEngine(ServingEngine):
         if e.max_seq_len % e.page_size:
             raise ValueError(f"max_seq_len {e.max_seq_len} must be a multiple "
                              f"of page_size {e.page_size}")
+        # the paged append kernel RMWs 8-row blocks that must lie within one
+        # page, and the quantized pools' 128-column scale block map
+        # ((gc*cw) % ps // cw, ops/pallas/paged_attention.py) mis-addresses
+        # when a page straddles a 128-column boundary — reject configs that
+        # would silently corrupt appends instead of raising
+        if e.page_size % 8:
+            raise ValueError(f"page_size {e.page_size} must be a multiple of 8")
+        if e.page_size > 128 and e.page_size % 128:
+            raise ValueError(f"page_size {e.page_size} > 128 must be a "
+                             f"multiple of 128")
         return e.max_seq_len // e.page_size
 
     def init_serving(self, B: int, prefix: int, rng=None,
@@ -373,28 +383,36 @@ class PagedServingEngine(ServingEngine):
             tables = jnp.asarray(np.stack([np.asarray(g[3]) for g in group]),
                                  jnp.int32)
             stk = self.encode(prompts, rng=sst.spec.rng, salt=salts)
-            fn = self._admit_fn(sst.active.shape[0], len(group))
+            # splice only the pages the allocator actually assigned: the
+            # slot's table tail entries all alias its scratch page, and a
+            # scatter with duplicate indices would rely on JAX's
+            # nondeterministic duplicate .set ordering (plus write full
+            # per-slot capacity to HBM regardless of prompt length)
+            reserve = self.ecfg.max_gen + self.ecfg.gamma + 2
+            n_used = -(-(plen + reserve) // self.ecfg.page_size)
+            fn = self._admit_fn(sst.active.shape[0], len(group), n_used)
             sst = fn(sst, stk, slots, tables)
         return sst
 
     @functools.lru_cache(maxsize=8)
-    def _admit_fn(self, B: int, k: int):
+    def _admit_fn(self, B: int, k: int, n_used: int):
         ps = self.ecfg.page_size
         npr = self._npr
 
         def admit(sst: ServingState, stk: SpecState, slots, tables):
             spec = sst.spec
 
-            def to_pages(c):  # [L, k, S, Kc] -> [L, k*npr, ps, Kc]
+            def to_pages(c):  # [L, k, S, Kc] -> [L, k*n_used, ps, Kc]
                 L, kk, S, Kc = c.shape
-                return c.reshape(L, kk * npr, ps, Kc)
+                return (c.reshape(L, kk, npr, ps, Kc)[:, :, :n_used]
+                        .reshape(L, kk * n_used, ps, Kc))
 
-            def to_scale_pages(s):  # [L, k, H, S] -> [L, k*npr, H, ps]
+            def to_scale_pages(s):  # [L, k, H, S] -> [L, k*n_used, H, ps]
                 L, kk, H, S = s.shape
-                return (s.reshape(L, kk, H, npr, ps)
-                        .transpose(0, 1, 3, 2, 4).reshape(L, kk * npr, H, ps))
+                return (s.reshape(L, kk, H, npr, ps)[:, :, :, :n_used]
+                        .transpose(0, 1, 3, 2, 4).reshape(L, kk * n_used, H, ps))
 
-            flat = tables.reshape(-1)
+            flat = tables[:, :n_used].reshape(-1)
             upd = dict(
                 k=spec.k.at[:, flat].set(to_pages(stk.k)),
                 v=spec.v.at[:, flat].set(to_pages(stk.v)),

@@ -30,6 +30,7 @@ Weight shapes (F = intermediate size, hd = head_dim):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -40,6 +41,12 @@ from magicdec_tpu.ops import attention as attn_ops
 from magicdec_tpu.ops import kv_cache as kv_ops
 from magicdec_tpu.ops.rope import apply_rope, rope_inv_freq
 from magicdec_tpu.quantization import QuantizedWeight, is_quantized, quant_matmul
+
+# Layer-scan unroll factor, a perf A/B knob.  Read ONCE at import (not at
+# trace time): already-jitted programs never reflect later env changes and the
+# value is invisible to jit cache keys, so a mid-process change would
+# otherwise silently split behavior between old and new traces.
+_SCAN_UNROLL = int(os.environ.get("MAGICDEC_SCAN_UNROLL", "1"))
 
 Params = Dict[str, Any]
 
@@ -177,11 +184,9 @@ def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches
         out = h + _mlp(rms_norm(h, wl["ffn_norm"], cfg.norm_eps), wl)
         return (out, caches, l + 1), rows
 
-    import os
-    unroll = int(os.environ.get("MAGICDEC_SCAN_UNROLL", "1"))  # perf A/B
     (x, new_caches, _), rows = jax.lax.scan(
         body, (x, caches, jnp.zeros((), jnp.int32)), params["layers"],
-        unroll=unroll)
+        unroll=_SCAN_UNROLL)
     return x, new_caches, rows
 
 
