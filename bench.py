@@ -64,6 +64,75 @@ def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25,
             "lm_head": None if tied else w(D, cfg.vocab_size, scale=0.02)}
 
 
+def make_params_device_quant(cfg, bits, seed=0, dtype=jnp.bfloat16,
+                             residual_scale=0.25, quantize_embed=False):
+    """Synthetic weights for reference-scale (8B-class) models, generated AND
+    quantized on device, one layer at a time.
+
+    The plain ``make_params`` + ``quantize_params`` route needs the full bf16
+    model resident before quantization (~16 GB at 8B — over the 15.5 GiB
+    usable HBM), and host-side numpy generation takes ~20 min for 8e9 randn
+    values on this box's 2 vCPUs.  Here each layer's leaf is drawn with
+    jax.random inside a jitted generate+quantize program, so peak HBM is the
+    accumulated quantized bytes plus one layer's transients (~0.5 GB), and
+    per-leaf-shape compiles are reused across the layer loop.
+
+    Same construction as make_params (damped residuals, strong embeddings,
+    independent 0.02-scale head — the acceptance protocol gated by
+    tests/test_bench_protocol.py); jax.random replaces np.RandomState, which
+    only reseeds the same distributions.
+    """
+    import functools
+
+    from magicdec_tpu import quantization as Q
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed),
+                                 8 * cfg.n_layer + 4))
+
+    @functools.lru_cache(maxsize=16)
+    def gen_q(shape, scale):
+        def f(k):
+            a = jax.random.normal(k, shape, jnp.float32) * scale
+            return Q.quantize_weight(a.astype(dtype), bits)
+        return jax.jit(f)
+
+    L, D, F = cfg.n_layer, cfg.dim, cfg.intermediate_size
+
+    def stack_q(in_dim, out_dim, scale=None):
+        scale = float(scale if scale is not None else 1.0 / np.sqrt(in_dim))
+        parts = [gen_q((in_dim, out_dim), scale)(next(keys)) for _ in range(L)]
+        return Q.QuantizedWeight(q=jnp.stack([p.q for p in parts]),
+                                 scale=jnp.stack([p.scale for p in parts]),
+                                 bits=parts[0].bits,
+                                 group_size=parts[0].group_size)
+
+    layers = {
+        "wq": stack_q(D, cfg.n_head * cfg.head_dim),
+        "wk": stack_q(D, cfg.n_kv_head * cfg.head_dim),
+        "wv": stack_q(D, cfg.n_kv_head * cfg.head_dim),
+        "bq": None, "bk": None, "bv": None,
+        "wo": stack_q(cfg.n_head * cfg.head_dim, D,
+                      scale=residual_scale / np.sqrt(D)),
+        "w1": stack_q(D, F), "w3": stack_q(D, F),
+        "w2": stack_q(F, D, scale=residual_scale / np.sqrt(F)),
+        "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
+    }
+
+    def head(k):
+        return Q.quantize_weight(
+            (jax.random.normal(k, (D, cfg.vocab_size), jnp.float32)
+             * 0.02).astype(dtype), bits)
+
+    def embed(k):
+        e = jax.random.normal(k, (cfg.vocab_size, D), jnp.float32)
+        return Q.quantize_embed(e.astype(dtype)) if quantize_embed \
+            else e.astype(dtype)
+
+    return {"embed": jax.jit(embed)(next(keys)), "layers": layers,
+            "final_norm": jnp.ones((D,), dtype),
+            "lm_head": jax.jit(head)(next(keys))}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="llama-3.2-1b")
@@ -127,7 +196,14 @@ def main():
     from magicdec_tpu.engine.engine import EngineConfig, SpecEngine
 
     cfg = ModelConfig.from_name(args.model)
-    params = make_params(cfg)
+    if args.quantize:
+        # layer-streamed on-device generation+quantization: full bf16 params
+        # never resident (an 8B bf16 model alone is over the HBM ceiling)
+        params = make_params_device_quant(
+            cfg, bits=8 if args.quantize == "int8" else 4,
+            quantize_embed=args.quantize_embed)
+    else:
+        params = make_params(cfg)
     if args.quantize and args.draft_quant:
         # quantized target weights: the self-spec draft SHARES them — a
         # second quantized copy would be redundant bytes (and quantizing a
@@ -139,10 +215,6 @@ def main():
         from magicdec_tpu import quantization as Q
 
         Q.set_matmul_backend(args.quant_backend)
-        if args.quantize:
-            params = Q.quantize_params(params,
-                                       bits=8 if args.quantize == "int8" else 4,
-                                       include_embed=args.quantize_embed)
     if args.quantize_embed and not args.quantize:
         from magicdec_tpu import quantization as Q
 

@@ -56,6 +56,21 @@ class ServingEngine(SpecEngine):
     and all standalone-draft modes via ServingLongSpecEngine.
     """
 
+    def _serving_shardings(self):
+        """ServingState shardings under a mesh (None when meshless).  The
+        spec tree reuses the engine's SpecState shardings; PagedServingEngine
+        overrides _spec_state_shardings with the pool/table specs."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = NamedSharding(self.mesh, P("data"))
+        return ServingState(spec=self._spec_state_shardings(),
+                            active=d, done=d)
+
+    def _spec_state_shardings(self):
+        return self._spec_shardings
+
     @functools.lru_cache(maxsize=8)
     def _windows_fn(self, B: int, n_windows: int):
         window = self._window()
@@ -71,7 +86,8 @@ class ServingEngine(SpecEngine):
                                            length=n_windows)
             return ServingState(spec=spec, active=sst.active, done=done)
 
-        return jax.jit(run, donate_argnums=(2,))
+        return jax.jit(run, donate_argnums=(2,),
+                       out_shardings=self._serving_shardings())
 
     # ------------------------------------------------------------------
     # admission / drain
@@ -160,7 +176,8 @@ class ServingEngine(SpecEngine):
                                 active=sst.active.at[slots].set(True),
                                 done=sst.done.at[slots].set(False))
 
-        return jax.jit(admit, donate_argnums=(0,))
+        return jax.jit(admit, donate_argnums=(0,),
+                       out_shardings=self._serving_shardings())
 
     # ------------------------------------------------------------------
     # the serving loop
@@ -307,6 +324,19 @@ class PagedServingEngine(ServingEngine):
     of target-cache bytes and fully occupied by construction.
     """
 
+    def _spec_state_shardings(self):
+        """Paged SpecState shardings: pools shard their kv-head lane axis on
+        the model axes, the table is replicated per shard (scalar-prefetched
+        by the paged kernels)."""
+        from magicdec_tpu.parallel import sharding as S
+
+        axes = S.model_axes_of(self.mesh)
+        return S._to_shardings(
+            S.spec_state_pspecs(axes, self._draft_model_axes(self.mesh),
+                                kv_quant=bool(self.ecfg.kv_quant),
+                                sampled=self.ecfg.temperature > 0,
+                                paged=True), self.mesh)
+
     @property
     def _npr(self) -> int:
         e = self.ecfg
@@ -348,6 +378,24 @@ class PagedServingEngine(ServingEngine):
                        e.cache_dtype)
         dv = jnp.zeros_like(dk)
         table = jnp.tile(jnp.arange(B, dtype=jnp.int32)[:, None], (1, npr))
+        if self.mesh is not None:
+            # paged serving is TP-only: the pool is ONE shared structure and
+            # every slot's appends write it, so a data axis would make the
+            # replicas diverge (the reference's only operating mode is 8-way
+            # TP as well, Engine/tp.py:202-207)
+            if self.mesh.shape.get("data", 1) != 1:
+                raise NotImplementedError(
+                    "PagedServingEngine under a mesh requires data axis 1 "
+                    f"(got {self.mesh.shape['data']}): the shared page pool "
+                    "cannot shard or replicate over a batch axis")
+            sh = self._spec_state_shardings()
+            pool_k = jax.device_put(pool_k, sh.k)
+            pool_v = jax.device_put(pool_v, sh.v)
+            if bits:
+                sk = jax.device_put(sk, sh.ks)
+                sv = jax.device_put(sv, sh.vs)
+            dk = jax.device_put(dk, sh.dk)
+            dv = jax.device_put(dv, sh.dv)
 
         rng, _ = self._sampling_args(B, rng, None)
 
@@ -434,7 +482,8 @@ class PagedServingEngine(ServingEngine):
                                 active=sst.active.at[slots].set(True),
                                 done=sst.done.at[slots].set(False))
 
-        return jax.jit(admit, donate_argnums=(0,))
+        return jax.jit(admit, donate_argnums=(0,),
+                       out_shardings=self._serving_shardings())
 
     def serve(self, prompts: List[np.ndarray], B: int,
               windows_per_sync: int = 4, rng=None,

@@ -430,6 +430,21 @@ def _append_rows_paged(caches, rows, write_pos, prefix="", backend="jnp"):
 
     table = caches[prefix + "table"]
     quant = "ks" in rows
+    from magicdec_tpu.ops.shard import FlashShard
+
+    if isinstance(backend, FlashShard):
+        from magicdec_tpu.ops import shard as shard_ops
+
+        out_arrays = shard_ops.append_paged_rows_sharded(
+            backend, caches[prefix + "k"], caches[prefix + "v"],
+            rows["k"], rows["v"], write_pos, table,
+            *((caches[prefix + "ks"], caches[prefix + "vs"],
+               rows["ks"], rows["vs"]) if quant else ()))
+        out = {prefix + "k": out_arrays[0], prefix + "v": out_arrays[1]}
+        if quant:
+            out[prefix + "ks"] = out_arrays[2]
+            out[prefix + "vs"] = out_arrays[3]
+        return {**caches, **out}
     if backend == "flash":
         from magicdec_tpu.ops import pallas as PL
         from magicdec_tpu.ops.pallas import paged_attention as PGA

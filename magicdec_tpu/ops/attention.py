@@ -240,6 +240,10 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
     """
     if isinstance(backend, FlashShard):
         from magicdec_tpu.ops import shard as shard_ops
+        if caches.get(prefix + "table") is not None:
+            return shard_ops.attend_cache_paged_sharded(
+                backend, q, caches, base_lens, layer=layer, prefix=prefix,
+                fresh=fresh)
         return shard_ops.attend_cache_sharded(backend, q, caches, base_lens,
                                               layer=layer, prefix=prefix,
                                               fresh=fresh)

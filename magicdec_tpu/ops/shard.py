@@ -89,6 +89,83 @@ def attend_cache_sharded(fs: FlashShard, q, caches, base_lens, *, layer,
     )(q, sub, base_lens, jnp.asarray(layer, jnp.int32), fresh)
 
 
+def attend_cache_paged_sharded(fs: FlashShard, q, caches, base_lens, *,
+                               layer, prefix: str = "", fresh=None):
+    """ops.attention._attend_cache_paged over sharded page POOLS.
+
+    Pools [L, P, ps, Kc] shard their folded kv-head lane axis on the model
+    axes (each shard owns whole heads of EVERY page); the scale pools
+    [L, P, H, ps] shard the head axis; the page table [B, npr] and lengths
+    are replicated scalars per shard (scalar-prefetched by the kernels).
+    Paged serving under a mesh is tensor-parallel only (the pool is one
+    shared structure — a data axis would make replicas diverge at append
+    time), matching the reference's sole operating mode of 8-way TP
+    (Engine/tp.py:202-207)."""
+    from magicdec_tpu.ops import attention as attn_ops
+
+    quant = caches.get(prefix + "ks") is not None
+    keys = ("k", "v", "ks", "vs", "table") if quant else ("k", "v", "table")
+    sub = {s: caches[prefix + s] for s in keys}
+    m, d = fs.m, fs.data
+    pool_spec = P(None, None, None, m)    # [L, P, ps, Kc or packed]
+    spool_spec = P(None, None, m, None)   # [L, P, Hkv, ps]
+    sub_specs = {"k": pool_spec, "v": pool_spec, "table": P(d, None)}
+    if quant:
+        sub_specs.update(ks=spool_spec, vs=spool_spec)
+    fresh_specs = None
+    if fresh is not None:
+        fresh_specs = {"k": P(d, None, m), "v": P(d, None, m)}
+        if "ks" in fresh:
+            fresh_specs.update(ks=P(d, m, None), vs=P(d, m, None))
+    q_spec = P(d, None, m, None)
+
+    def local(q, sub, lens, layer, fresh):
+        c = {prefix + s: v for s, v in sub.items()}
+        return attn_ops._attend_cache_paged(q, c, lens, layer=layer,
+                                            backend="flash", prefix=prefix,
+                                            fresh=fresh)
+
+    return jax.shard_map(
+        local, mesh=fs.mesh,
+        in_specs=(q_spec, sub_specs, P(d), P(), fresh_specs),
+        out_specs=q_spec, check_vma=False,
+    )(q, sub, base_lens, jnp.asarray(layer, jnp.int32), fresh)
+
+
+def append_paged_rows_sharded(fs: FlashShard, pool_k, pool_v, rows_k, rows_v,
+                              write_pos, table, scale_k=None, scale_v=None,
+                              srows_k=None, srows_v=None):
+    """ops.pallas.paged_attention.append_paged_rows_inplace per shard (each
+    shard RMWs its own heads of the target pages; the table is replicated)."""
+    from magicdec_tpu.ops import pallas as PL
+    from magicdec_tpu.ops.pallas import paged_attention as PGA
+
+    m, d = fs.m, fs.data
+    quant = scale_k is not None
+    pspec = P(None, None, None, m)
+    sspec = P(None, None, m, None)
+    rspec = P(None, d, None, m)           # rows [L, B, T, Kc]
+    srspec = P(None, d, m, None)          # scale rows [L, B, Hkv, T]
+    in_specs = (pspec, pspec, rspec, rspec, P(d), P(d, None))
+    out_specs = (pspec, pspec)
+    args = (pool_k, pool_v, rows_k, rows_v, write_pos, table)
+    if quant:
+        in_specs += (sspec, sspec, srspec, srspec)
+        out_specs += (sspec, sspec)
+        args += (scale_k, scale_v, srows_k, srows_v)
+
+    interp = PL.use_interpret()
+
+    def local(pk, pv, rk, rv, pos, tab, *scales):
+        out = PGA.append_paged_rows_inplace(pk, pv, rk, rv, pos, tab,
+                                            *(scales if scales else (None,) * 4),
+                                            interpret=interp)
+        return tuple(out)
+
+    return jax.shard_map(local, mesh=fs.mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(*args)
+
+
 def append_all_rows_sharded(fs: FlashShard, cache_k, cache_v, rows_k, rows_v,
                             write_pos, scale_k=None, scale_v=None,
                             srows_k=None, srows_v=None):

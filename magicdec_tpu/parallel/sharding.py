@@ -108,15 +108,48 @@ def scale_pspec(axes=("model",)) -> P:
     return P(None, "data", m, None)
 
 
+def pool_pspec(axes=("model",)) -> P:
+    """Paged-serving KV pools [L, P, page_size, Hkv*hd]: every shard owns
+    whole kv heads of EVERY page (the page axis is a shared structure, so it
+    cannot shard on data — paged serving under a mesh is TP-only, matching
+    the reference's sole operating mode, Engine/tp.py:202-207)."""
+    m = axes if len(axes) > 1 else axes[0]
+    return P(None, None, None, m)
+
+
+def pool_scale_pspec(axes=("model",)) -> P:
+    """Quantized-pool scale pools [L, P, Hkv, page_size]."""
+    m = axes if len(axes) > 1 else axes[0]
+    return P(None, None, m, None)
+
+
 def spec_state_pspecs(axes=("model",), draft_axes=None,
-                      kv_quant: bool = False, sampled: bool = False) -> Any:
+                      kv_quant: bool = False, sampled: bool = False,
+                      paged: bool = False) -> Any:
     """PartitionSpecs for engine.state.SpecState fields.  draft caches may be
     sharded over a sub-axis of the target's model axes (draft sub-mesh).
     ``sampled``: state carries the coupled-Gumbel rng (replicated) and the
-    per-request salt (data-sharded)."""
+    per-request salt (data-sharded).  ``paged``: k/v (+ks/vs) are page POOLS
+    and the state carries the page ``table`` (engine/serving.
+    PagedServingEngine)."""
     from magicdec_tpu.engine.state import SpecState
 
     b = P("data")
+    if paged:
+        return SpecState(
+            k=pool_pspec(axes), v=pool_pspec(axes), target_lens=b,
+            table=P("data", None),
+            dk=cache_pspec(draft_axes or axes),
+            dv=cache_pspec(draft_axes or axes),
+            draft_fill=b, draft_pos=b,
+            token0=b, output=P("data", None),
+            num_committed=b, target_steps=P(), done=P(),
+            db_tokens=P("data", None), db_update=b,
+            ks=pool_scale_pspec(axes) if kv_quant else None,
+            vs=pool_scale_pspec(axes) if kv_quant else None,
+            rng=P() if sampled else None,
+            salt=b if sampled else None,
+        )
     return SpecState(
         k=cache_pspec(axes), v=cache_pspec(axes), target_lens=b,
         dk=cache_pspec(draft_axes or axes), dv=cache_pspec(draft_axes or axes),
