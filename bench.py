@@ -64,59 +64,68 @@ def make_params(cfg, seed=0, dtype=jnp.bfloat16, residual_scale=0.25,
             "lm_head": None if tied else w(D, cfg.vocab_size, scale=0.02)}
 
 
+def _synth_layers(cfg, keys, dtype=jnp.bfloat16, residual_scale=0.25,
+                  bits=None):
+    """Layer-streamed on-device synthetic layer stack: each leaf is drawn
+    with jax.random inside a jitted generate(+quantize) program, so peak HBM
+    is the accumulated (quantized) bytes plus one layer's transients.  The
+    plain ``make_params`` + ``quantize_params`` route would need the full
+    bf16 model resident first (~16 GB at 8B — over the 15.5 GiB usable HBM),
+    and host-side numpy generation takes ~20 min for 8e9 randn values on this
+    box's 2 vCPUs.  Same distributions as make_params."""
+    import functools
+
+    from magicdec_tpu import quantization as Q
+
+    @functools.lru_cache(maxsize=16)
+    def gen(shape, scale):
+        def f(k):
+            a = jax.random.normal(k, shape, jnp.float32) * scale
+            a = a.astype(dtype)
+            return Q.quantize_weight(a, bits) if bits else a
+        return jax.jit(f)
+
+    L, D, F = cfg.n_layer, cfg.dim, cfg.intermediate_size
+
+    def stack(in_dim, out_dim, scale=None):
+        scale = float(scale if scale is not None else 1.0 / np.sqrt(in_dim))
+        parts = [gen((in_dim, out_dim), scale)(next(keys)) for _ in range(L)]
+        if not bits:
+            return jnp.stack(parts)
+        return Q.QuantizedWeight(q=jnp.stack([p.q for p in parts]),
+                                 scale=jnp.stack([p.scale for p in parts]),
+                                 bits=parts[0].bits,
+                                 group_size=parts[0].group_size)
+
+    return {
+        "wq": stack(D, cfg.n_head * cfg.head_dim),
+        "wk": stack(D, cfg.n_kv_head * cfg.head_dim),
+        "wv": stack(D, cfg.n_kv_head * cfg.head_dim),
+        "bq": None, "bk": None, "bv": None,
+        "wo": stack(cfg.n_head * cfg.head_dim, D,
+                    scale=residual_scale / np.sqrt(D)),
+        "w1": stack(D, F), "w3": stack(D, F),
+        "w2": stack(F, D, scale=residual_scale / np.sqrt(F)),
+        "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
+    }
+
+
 def make_params_device_quant(cfg, bits, seed=0, dtype=jnp.bfloat16,
                              residual_scale=0.25, quantize_embed=False):
     """Synthetic weights for reference-scale (8B-class) models, generated AND
-    quantized on device, one layer at a time.
-
-    The plain ``make_params`` + ``quantize_params`` route needs the full bf16
-    model resident before quantization (~16 GB at 8B — over the 15.5 GiB
-    usable HBM), and host-side numpy generation takes ~20 min for 8e9 randn
-    values on this box's 2 vCPUs.  Here each layer's leaf is drawn with
-    jax.random inside a jitted generate+quantize program, so peak HBM is the
-    accumulated quantized bytes plus one layer's transients (~0.5 GB), and
-    per-leaf-shape compiles are reused across the layer loop.
+    quantized on device, one layer at a time (see _synth_layers).
 
     Same construction as make_params (damped residuals, strong embeddings,
     independent 0.02-scale head — the acceptance protocol gated by
     tests/test_bench_protocol.py); jax.random replaces np.RandomState, which
     only reseeds the same distributions.
     """
-    import functools
-
     from magicdec_tpu import quantization as Q
 
     keys = iter(jax.random.split(jax.random.PRNGKey(seed),
                                  8 * cfg.n_layer + 4))
-
-    @functools.lru_cache(maxsize=16)
-    def gen_q(shape, scale):
-        def f(k):
-            a = jax.random.normal(k, shape, jnp.float32) * scale
-            return Q.quantize_weight(a.astype(dtype), bits)
-        return jax.jit(f)
-
-    L, D, F = cfg.n_layer, cfg.dim, cfg.intermediate_size
-
-    def stack_q(in_dim, out_dim, scale=None):
-        scale = float(scale if scale is not None else 1.0 / np.sqrt(in_dim))
-        parts = [gen_q((in_dim, out_dim), scale)(next(keys)) for _ in range(L)]
-        return Q.QuantizedWeight(q=jnp.stack([p.q for p in parts]),
-                                 scale=jnp.stack([p.scale for p in parts]),
-                                 bits=parts[0].bits,
-                                 group_size=parts[0].group_size)
-
-    layers = {
-        "wq": stack_q(D, cfg.n_head * cfg.head_dim),
-        "wk": stack_q(D, cfg.n_kv_head * cfg.head_dim),
-        "wv": stack_q(D, cfg.n_kv_head * cfg.head_dim),
-        "bq": None, "bk": None, "bv": None,
-        "wo": stack_q(cfg.n_head * cfg.head_dim, D,
-                      scale=residual_scale / np.sqrt(D)),
-        "w1": stack_q(D, F), "w3": stack_q(D, F),
-        "w2": stack_q(F, D, scale=residual_scale / np.sqrt(F)),
-        "attn_norm": jnp.ones((L, D), dtype), "ffn_norm": jnp.ones((L, D), dtype),
-    }
+    layers = _synth_layers(cfg, keys, dtype, residual_scale, bits=bits)
+    D = cfg.dim
 
     def head(k):
         return Q.quantize_weight(
@@ -131,6 +140,66 @@ def make_params_device_quant(cfg, bits, seed=0, dtype=jnp.bfloat16,
     return {"embed": jax.jit(embed)(next(keys)), "layers": layers,
             "final_norm": jnp.ones((D,), dtype),
             "lm_head": jax.jit(head)(next(keys))}
+
+
+def make_longspec_params(tcfg, dcfg, seed=0, dtype=jnp.bfloat16,
+                         t_bits=None, quantize_embed=False,
+                         target_residual=0.12, draft_residual=0.03):
+    """Coupled synthetic weights for standalone-draft speculation: returns
+    (target_params, draft_params).
+
+    Two INDEPENDENTLY random models agree on essentially no greedy tokens, so
+    the plain per-model make_params protocol cannot exercise longspec
+    throughput (acceptance ~0 — every window would commit 1 token).  Real
+    checkpoint pairs (Llama-3.2-1B drafting for Llama-3.1-8B,
+    reference README.md:69) agree because they model the same distribution;
+    this construction reproduces that property structurally: both models
+    share a low-rank bigram backbone
+        A [V, Dd] (shared token code)  C [Dd, V] (shared readout)
+        draft:  embed = A,      head = C
+        target: embed = A @ P,  head = P^T @ C,   P [Dd, Dt] iid N(0, 1/Dt)
+    With P P^T ~= I_Dd, both models' logits are dominated by the same A @ C
+    bigram structure, while each adds its own damped-residual transformer
+    perturbation (the draft's smaller, like a weaker same-family model).
+    Greedy acceptance then lands in a realistic band (gated on CPU in
+    tests/test_bench_protocol.py), bracketing the published longspec rates.
+
+    ``t_bits``: quantize the target's layer stack + head on device (8B-scale
+    memory path); the draft stays dense — EngineConfig.draft_quant quantizes
+    it inside LongSpecEngine like any standalone draft.
+    """
+    from magicdec_tpu import quantization as Q
+
+    assert dcfg.vocab_size == tcfg.vocab_size, "coupled protocol needs one vocab"
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed),
+                                 8 * (tcfg.n_layer + dcfg.n_layer) + 8))
+    V, Dt, Dd = tcfg.vocab_size, tcfg.dim, dcfg.dim
+
+    def backbone(ka, kc, kp):
+        A = jax.random.normal(ka, (V, Dd), jnp.float32)
+        C = jax.random.normal(kc, (Dd, V), jnp.float32) * 0.02
+        # P must be exactly semi-orthogonal (P P^T = I_Dd): an iid gaussian
+        # P leaves sqrt(Dd/Dt) ~= 0.7 relative noise in A P P^T C, which
+        # swamps the bigram top-gap and pins acceptance at ~0.1/token
+        q, _ = jnp.linalg.qr(jax.random.normal(kp, (Dt, Dd), jnp.float32))
+        P = q.T
+        t_embed = (A @ P).astype(dtype)
+        t_head = (P.T @ C).astype(dtype)
+        return A.astype(dtype), C.astype(dtype), t_embed, t_head
+
+    A, C, t_embed, t_head = jax.jit(backbone)(next(keys), next(keys),
+                                              next(keys))
+    t_layers = _synth_layers(tcfg, keys, dtype, target_residual, bits=t_bits)
+    d_layers = _synth_layers(dcfg, keys, dtype, draft_residual, bits=None)
+    if t_bits:
+        t_head = Q.quantize_weight(t_head, t_bits)
+    if quantize_embed:
+        t_embed = Q.quantize_embed(t_embed)
+    target = {"embed": t_embed, "layers": t_layers,
+              "final_norm": jnp.ones((Dt,), dtype), "lm_head": t_head}
+    draft = {"embed": A, "layers": d_layers,
+             "final_norm": jnp.ones((Dd,), dtype), "lm_head": C}
+    return target, draft
 
 
 def main():

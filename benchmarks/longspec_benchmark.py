@@ -41,15 +41,53 @@ def main():
                         "outer*inner devices, the standalone draft only the "
                         "inner axis (reference --draft_rank_group)")
     p.add_argument("--model_parallel_inner", type=int, default=0)
+    p.add_argument("--quantize", choices=["int8", "int4"], default=None,
+                   help="quantize the TARGET weights (layer-streamed on-"
+                        "device generation for 8B-class synthetic shapes)")
+    p.add_argument("--quantize_embed", action="store_true")
+    p.add_argument("--quant_backend", default="pallas",
+                   choices=["jnp", "pallas"],
+                   help="fused dequant+matmul kernels for quantized weights "
+                        "(pallas engages on decode/verify row counts; "
+                        "meshless only)")
     args = p.parse_args()
     common.apply_platform(args)
+    if args.quantize or args.draft_quant:
+        from magicdec_tpu import quantization as Q
+
+        mesh_on = (args.model_parallel > 1 or args.data_parallel > 1
+                   or (args.model_parallel_outer and args.model_parallel_inner))
+        Q.set_matmul_backend("jnp" if mesh_on else args.quant_backend)
 
     from magicdec_tpu.engine.engine import EngineConfig, LongSpecEngine
     from magicdec_tpu.utils.seeding import setup_seed
 
     setup_seed(args.seed)
-    params, cfg = common.load_params_and_config(args.model)
-    dparams, dcfg = common.load_params_and_config(args.draft_model)
+    if (not str(args.model).endswith(".npz")
+            and not str(args.draft_model).endswith(".npz")):
+        # synthetic pair: two INDEPENDENTLY random models agree on ~no greedy
+        # tokens (acceptance ~0 — longspec throughput would be meaningless),
+        # so the synthetic protocol couples them through a shared low-rank
+        # bigram backbone (bench.make_longspec_params; acceptance gated on
+        # CPU in tests/test_bench_protocol.py)
+        from bench import make_longspec_params
+        from magicdec_tpu.config import ModelConfig
+
+        cfg = ModelConfig.from_name(args.model)
+        dcfg = ModelConfig.from_name(args.draft_model)
+        params, dparams = make_longspec_params(
+            cfg, dcfg, t_bits=(None if not args.quantize
+                               else 8 if args.quantize == "int8" else 4),
+            quantize_embed=args.quantize_embed)
+    else:
+        params, cfg = common.load_params_and_config(args.model)
+        dparams, dcfg = common.load_params_and_config(args.draft_model)
+        if args.quantize:
+            from magicdec_tpu import quantization as Q
+
+            params = Q.quantize_params(
+                params, bits=8 if args.quantize == "int8" else 4,
+                include_embed=args.quantize_embed)
     mode = "full" if args.draft_budget == -1 else args.mode
     budget = 257 if args.draft_budget == -1 else args.draft_budget
     if args.model_parallel_outer and args.model_parallel_inner:

@@ -73,6 +73,39 @@ def test_bench_protocol_acceptance_snapkv():
     assert rate >= MIN_TOKENS_PER_STEP, rate
 
 
+def test_longspec_coupled_protocol_acceptance():
+    """Standalone-draft synthetic protocol (bench.make_longspec_params):
+    target and draft share a low-rank bigram backbone through a
+    semi-orthogonal projection, so greedy acceptance lands in a realistic
+    band instead of the ~0 of two independent random models.  Gate >= 2.2
+    tokens/step at gamma=3 (published real-checkpoint longspec rates are
+    higher, 0.79-0.84/token ~= 3.1 — the protocol is deliberately
+    conservative)."""
+    from bench import make_longspec_params
+    from magicdec_tpu.engine.engine import LongSpecEngine
+
+    dcfg = tiny_config(vocab_size=1024, n_layer=2, n_head=4, n_kv_head=2,
+                       dim=128, intermediate_size=256)
+    tp, dp = make_longspec_params(CFG, dcfg)
+    ecfg = EngineConfig(mode="streamingllm", gamma=GAMMA, draft_budget=257,
+                        max_seq_len=1024, chunk_size=128, max_gen=64,
+                        eot_ids=(-1,), cache_dtype=jnp.bfloat16,
+                        draft_quant="int8")
+    eng = LongSpecEngine(tp, CFG, dp, dcfg, ecfg)
+    B = 4
+    prompt = jnp.asarray(
+        np.random.RandomState(0).randint(0, CFG.vocab_size, (B, 768)),
+        jnp.int32)
+    st = eng.encode(prompt)
+    st, stats = eng.generate(st)
+    gen = int(np.asarray(stats["gen_tokens"]).sum())
+    steps = int(stats["target_steps"])
+    rate = gen / steps / B
+    assert rate >= 2.2, (
+        f"coupled longspec protocol degraded: {rate:.2f} tokens/step "
+        "(independent random models give ~1.0)")
+
+
 def test_make_params_head_is_independent_by_default():
     """make_params(cfg) must produce an UNTIED head even when the config ties
     embeddings: a tied head on random weights degenerates acceptance to
