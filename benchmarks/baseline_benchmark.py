@@ -34,7 +34,8 @@ def main():
 
     setup_seed(args.seed)
     params, cfg = common.load_params_and_config(args.model)
-    mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
+    mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel,
+                                    force=args.force_mesh)
     ecfg = EngineConfig(mode="streamingllm", max_seq_len=args.max_len,
                         max_gen=args.max_gen, eot_ids=common.eot_ids_for(args, cfg),
                         temperature=args.temperature, top_p=args.top_p,

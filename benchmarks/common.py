@@ -53,6 +53,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--prefill_chunk", type=int, default=0,
                    help="target prefill chunk size (0 = EngineConfig."
                         "chunk_size; larger chunks feed the MXU better)")
+    p.add_argument("--force_mesh", action="store_true",
+                   help="build the mesh even at data*model == 1: runs the "
+                        "GSPMD + shard_map engine paths (FlashShard kernels, "
+                        "sharded state) on a 1-device mesh — the way to "
+                        "exercise the TP code path on a single real chip")
     p.add_argument("--platform", choices=["default", "cpu"], default="default",
                    help="cpu: force the host backend (smoke runs). The "
                         "JAX_PLATFORMS env var is NOT honored in this "
@@ -109,8 +114,8 @@ def load_params_and_config(model: str, dtype=jnp.bfloat16):
     return make_params(cfg, dtype=dtype), cfg
 
 
-def make_mesh_or_none(data: int, model: int):
-    if data * model <= 1:
+def make_mesh_or_none(data: int, model: int, force: bool = False):
+    if data * model <= 1 and not force:
         return None
     from magicdec_tpu.parallel.sharding import make_mesh
 

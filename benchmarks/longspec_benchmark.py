@@ -97,7 +97,8 @@ def main():
                                  model_outer=args.model_parallel_outer,
                                  model_inner=args.model_parallel_inner)
     else:
-        mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
+        mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel,
+                                    force=args.force_mesh)
     ecfg = EngineConfig(mode=mode, gamma=args.gamma, draft_budget=budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,
                         eot_ids=common.eot_ids_for(args, cfg),

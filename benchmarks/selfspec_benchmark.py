@@ -42,7 +42,8 @@ def main():
 
     setup_seed(args.seed)
     params, cfg = common.load_params_and_config(args.model)
-    mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel)
+    mesh = common.make_mesh_or_none(args.data_parallel, args.model_parallel,
+                                    force=args.force_mesh)
     ecfg = EngineConfig(mode=args.mode, gamma=args.gamma,
                         draft_budget=args.draft_budget,
                         max_seq_len=args.max_len, max_gen=args.max_gen,

@@ -75,14 +75,19 @@ def main():
         draft_quant=args.draft_quant or False,
         temperature=args.temperature, top_p=args.top_p)
 
+    # serving under a mesh is TP-only (tests/test_serving_mesh.py): admission
+    # buckets have arbitrary sizes a batch axis cannot divide, and the paged
+    # pool is one shared structure
+    mesh = common.make_mesh_or_none(1, args.model_parallel,
+                                    force=args.force_mesh)
     if args.draft_model or args.mode == "full":
         dparams, dcfg = common.load_params_and_config(
             args.draft_model or args.model)
         cls = PagedServingLongSpecEngine if args.paged else ServingLongSpecEngine
-        engine = cls(params, cfg, dparams, dcfg, ecfg)
+        engine = cls(params, cfg, dparams, dcfg, ecfg, mesh=mesh)
     else:
         engine = (PagedServingEngine if args.paged else ServingEngine)(
-            params, cfg, ecfg)
+            params, cfg, ecfg, mesh=mesh)
 
     data = common.load_dataset(args, cfg.vocab_size)
     lens = [prefix] * args.num_requests

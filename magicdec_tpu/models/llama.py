@@ -65,9 +65,21 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (norm.astype(x.dtype)) * w
 
 
-def _mlp(x: jnp.ndarray, wl: Params) -> jnp.ndarray:
-    if wl.get("w13") is not None:  # fused gate|up dot (fuse_exec_params)
-        gu = matmul(x, wl["w13"])
+def _mlp(x: jnp.ndarray, wl: Params, cfg: ModelConfig) -> jnp.ndarray:
+    """FFN block INCLUDING its pre-norm: rms_norm -> silu-gated MLP.
+
+    The norm lives here (not in the scan body) so the quantized fused-exec
+    path can sink it — and the SiLU gate — into the Pallas dequant-dot
+    kernel: at decode shapes the [M, D] elementwise kernels stranded between
+    opaque custom calls are pure fixed cost (~0.7 ms/16-layer draft scan)."""
+    w13 = wl.get("w13")
+    if w13 is not None and is_quantized(w13):
+        gated = quant_matmul(x, w13, norm=(wl["ffn_norm"], cfg.norm_eps),
+                             gate=True)
+        return matmul(gated, wl["w2"])
+    x = rms_norm(x, wl["ffn_norm"], cfg.norm_eps)
+    if w13 is not None:  # fused gate|up dot (fuse_exec_params)
+        gu = matmul(x, w13)
         F = gu.shape[-1] // 2
         gate, up = gu[..., :F], gu[..., F:]
     else:
@@ -76,7 +88,9 @@ def _mlp(x: jnp.ndarray, wl: Params) -> jnp.ndarray:
 
 
 def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
-    """x [B, T, D] -> q [B,T,Hq,hd], k,v [B,T,Hkv,hd] (pre-rope).
+    """x [B, T, D] (RAW, pre-norm) -> q [B,T,Hq,hd], k,v [B,T,Hkv,hd]
+    (pre-rope).  Applies the attention pre-norm internally — fused into the
+    Pallas dequant-dot on the quantized fused-exec path (see _mlp).
 
     q/k/v projections are stored as separate tensors (not the reference's
     fused wqkv, Engine/SnapKV/model.py:326) so each output column axis is a
@@ -89,14 +103,19 @@ def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
     hd = cfg.head_dim
     nq = cfg.n_head * hd
     nkv = cfg.n_kv_head * hd
+    norm = (wl["attn_norm"], cfg.norm_eps)
     if wl.get("wqkv") is not None:
-        qkv = matmul(x, wl["wqkv"])
-        if wl.get("bqkv") is not None:
-            qkv = qkv + wl["bqkv"]
+        if is_quantized(wl["wqkv"]) and wl.get("bqkv") is None:
+            qkv = quant_matmul(x, wl["wqkv"], norm=norm)
+        else:
+            qkv = matmul(rms_norm(x, *norm), wl["wqkv"])
+            if wl.get("bqkv") is not None:
+                qkv = qkv + wl["bqkv"]
         q = qkv[..., :nq]
         k = qkv[..., nq:nq + nkv]
         v = qkv[..., nq + nkv:]
     else:
+        x = rms_norm(x, *norm)
         q = matmul(x, wl["wq"])
         k = matmul(x, wl["wk"])
         v = matmul(x, wl["wv"])
@@ -149,7 +168,7 @@ def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
 # Layer skeleton
 # ---------------------------------------------------------------------------
 
-# An AttnHook maps (normed x, layer weights, FULL stacked caches, layer idx)
+# An AttnHook maps (RAW x, layer weights, FULL stacked caches, layer idx)
 # -> (attn_out, new stacked caches, per-layer rows to append post-scan).
 # Decode-path hooks leave caches untouched and return the layer's new KV as
 # ``rows`` (collected as scan ys and appended ONCE after the scan); prefill
@@ -178,10 +197,11 @@ def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches
 
     def body(carry, wl):
         x, caches, l = carry
-        attn_out, caches, rows = layer_attn(
-            rms_norm(x, wl["attn_norm"], cfg.norm_eps), wl, caches, l)
+        # hooks receive RAW x; the pre-norms live inside _qkv/_mlp so the
+        # quantized fused-exec path can sink them into the dequant-dot kernel
+        attn_out, caches, rows = layer_attn(x, wl, caches, l)
         h = x + attn_out
-        out = h + _mlp(rms_norm(h, wl["ffn_norm"], cfg.norm_eps), wl)
+        out = h + _mlp(h, wl, cfg)
         return (out, caches, l + 1), rows
 
     (x, new_caches, _), rows = jax.lax.scan(
@@ -249,13 +269,14 @@ def head_sample(params: Params, cfg: ModelConfig, x: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _attn_project(x_norm: jnp.ndarray, wl: Params, cfg: ModelConfig,
+def _attn_project(x: jnp.ndarray, wl: Params, cfg: ModelConfig,
                   pos_q: jnp.ndarray, pos_k: Optional[jnp.ndarray],
                   inv_freq: jnp.ndarray):
-    """Projections + rope.  pos_*: [B, T] absolute rope positions.
+    """Pre-norm + projections + rope (the norm applies inside _qkv).
+    pos_*: [B, T] absolute rope positions.
     pos_k=None leaves k un-roped (StreamingLLM draft prefill stores raw keys,
     reference Engine/StreamingLLM/model.py:402-419)."""
-    q, k, v = _qkv(x_norm, wl, cfg)
+    q, k, v = _qkv(x, wl, cfg)
     q = apply_rope(q, pos_q, inv_freq)
     if pos_k is not None:
         k = apply_rope(k, pos_k, inv_freq)
@@ -269,7 +290,8 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     """Shared driver: embed -> scan(layers with hook) -> finalize -> head.
 
     attn_hook_builder(cfg, inv_freq) must return an AttnHook
-    (x_norm, wl, caches, l) -> (attn_out, caches, rows).
+    (x, wl, caches, l) -> (attn_out, caches, rows); the attention pre-norm
+    applies inside _qkv (fused into the quantized dot on the pallas path).
     finalize(caches, rows): post-scan batched cache append (rows are the
     scan-stacked [L, ...] per-layer outputs).
     head: 'argmax' (default) | 'logits' | 'none' (returns final hidden states,
@@ -310,11 +332,11 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, caches, l):
-            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+        def hook(x, wl, caches, l):
+            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
-            B, t = x_norm.shape[:2]
+            B, t = x.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, caches, rows
         return hook
@@ -504,13 +526,13 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, caches, l):
-            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+        def hook(x, wl, caches, l):
+            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
             # draft cache stays bf16 (it is budget-sized, not bandwidth-bound)
             drows = _kv_rows(k, v, caches, prefix="d")
-            B, t = x_norm.shape[:2]
+            B, t = x.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, caches, {"t": rows, "d": drows}
         return hook
@@ -544,8 +566,8 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, caches, l):
-            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+        def hook(x, wl, caches, l):
+            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
             # compression scores/gathers need this layer's dense KV including
@@ -571,7 +593,7 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
                 kernel_size=kernel_size, pooling=pooling)
             Bq = q_win.shape[0]
-            B, t = x_norm.shape[:2]
+            B, t = x.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             drows = {"dk": dk_new.reshape(Bq, budget, -1).astype(caches["dk"].dtype),
                      "dv": dv_new.reshape(Bq, budget, -1).astype(caches["dv"].dtype)}
@@ -611,11 +633,11 @@ def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
     slot_pos = jnp.arange(budget, dtype=jnp.int32)
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, caches, l):
+        def hook(x, wl, caches, l):
             # prefill-only path: the eviction/re-rope logic works on this
             # layer's slice of the (budget-sized) draft cache; slice copies
             # here are cheap and nothing feeds a custom call
-            q, k, v = _attn_project(x_norm, wl, cfg, pos_q, None, inv_freq)
+            q, k, v = _attn_project(x, wl, cfg, pos_q, None, inv_freq)
             dk_l = jax.lax.dynamic_index_in_dim(caches["dk"], l, 0, keepdims=False)
             dv_l = jax.lax.dynamic_index_in_dim(caches["dv"], l, 0, keepdims=False)
             dk, dv, _, _ = stream_update_raw(dk_l, dv_l, k, v,
@@ -671,13 +693,13 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = rope_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
-        def hook(x_norm, wl, caches, l):
-            q, k, v = _attn_project(x_norm, wl, cfg, pos, pos, inv_freq)
+        def hook(x, wl, caches, l):
+            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
             rows = _kv_rows(k, v, caches, prefix="d")
             out = attn_ops.attend_cache(q, caches, draft_fill, layer=l,
                                         backend=backend, prefix="d",
                                         fresh=rows)
-            B, t = x_norm.shape[:2]
+            B, t = x.shape[:2]
             y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             return y, caches, rows
         return hook

@@ -56,6 +56,125 @@ def _int8_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_groups_per_block: int
         o_ref[0] = acc_scr[:].astype(o_ref.dtype)
 
 
+def _fused_kernel(*refs, n_groups_per_block: int, group_size: int, bits: int,
+                  norm: bool, norm_eps: float, gate: bool):
+    """One draft-layer dot with its surrounding elementwise chain fused.
+
+    The Pallas quant dots are opaque custom calls, so XLA cannot fuse the
+    norms / SiLU-gate around them — at decode shapes (M <= 256 rows) those
+    leftover [M, D] elementwise kernels are pure fixed cost, ~0.7 ms of a
+    3.8 ms draft step at llama-3.2-1b B=32 (COVERAGE.md).  This kernel
+    subsumes them:
+
+    - ``norm``: rms-norm the x rows in-kernel (fp32 mean-square, matching
+      models.llama.rms_norm bit-for-bit) — valid when ONE in-block spans the
+      whole contraction (the row statistic needs the full row).  int8 x only:
+      the int4 path consumes pre-strided even/odd row halves, which cannot be
+      re-sliced lane-strided in-kernel (Mosaic).
+    - ``gate``: the fused gate|up projection (w13) loads TWO weight blocks
+      per grid cell — gate block o and up block o + F/block_out of the SAME
+      [In, 2F] array — and emits silu(gate) * up [M, F].  No weight
+      relayout, second accumulator in VMEM.
+
+    refs order: x (int8: [1,M,bi]; int4: xe, xo [1,M,bi//2]), q, s,
+    [q2, s2 when gate], [norm_w when norm], o_ref, acc, [acc2 when gate].
+    """
+    i = 0
+    if bits == 8:
+        x_parts = (refs[i],); i += 1
+    else:
+        x_parts = (refs[i], refs[i + 1]); i += 2
+    q_ref, s_ref = refs[i], refs[i + 1]; i += 2
+    q2_ref = s2_ref = None
+    if gate:
+        q2_ref, s2_ref = refs[i], refs[i + 1]; i += 2
+    nw_ref = None
+    if norm:
+        nw_ref = refs[i]; i += 1
+    o_ref = refs[i]; i += 1
+    acc_scr = refs[i]; i += 1
+    if gate:
+        acc2_scr = refs[i]; i += 1
+    else:
+        acc2_scr = None
+    xn_scr = refs[i] if norm else None
+
+    j = pl.program_id(1)
+    nblocks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        if gate:
+            acc2_scr[:] = jnp.zeros_like(acc2_scr)
+
+    if bits == 8:
+        if norm:
+            # normalize ONCE into VMEM scratch at the first grid cell and
+            # reuse across all out-blocks: grid cells run sequentially, and
+            # recomputing the [M, In] norm per out-block costs more than the
+            # fusion saves (w13's 16-cell grid spent ~0.5 ms/16-layer scan
+            # re-norming — measured on v5e)
+            @pl.when((pl.program_id(0) == 0) & (j == 0))
+            def _norm():
+                xf = x_parts[0][0].astype(jnp.float32)
+                r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                                  + norm_eps)
+                xn_scr[:] = (xf * r).astype(xn_scr.dtype) * nw_ref[0]
+            x = xn_scr[:]
+        else:
+            x = x_parts[0][0]
+
+        def accumulate(qr, sr, acc):
+            w = qr[:]
+            if n_groups_per_block == 1:
+                part = jax.lax.dot_general(x, w.astype(x.dtype),
+                                           (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+                acc[:] += part * sr[0].astype(jnp.float32)
+            else:
+                for g in range(n_groups_per_block):
+                    xg = x[:, g * group_size:(g + 1) * group_size]
+                    wg = w[g * group_size:(g + 1) * group_size].astype(x.dtype)
+                    part = jax.lax.dot_general(xg, wg, (((1,), (0,)), ((), ())),
+                                               preferred_element_type=jnp.float32)
+                    acc[:] += part * sr[g].astype(jnp.float32)
+    else:
+        xe, xo = x_parts[0][0], x_parts[1][0]
+        half = group_size // 2
+
+        def accumulate(qr, sr, acc):
+            r = qr[:].astype(jnp.int32)
+            lo = jnp.right_shift(jnp.left_shift(r, 28), 28).astype(xe.dtype)
+            hi = jnp.right_shift(r, 4).astype(xe.dtype)
+            for g in range(n_groups_per_block):
+                sl = slice(g * half, (g + 1) * half)
+                part = jax.lax.dot_general(xe[:, sl], lo[sl],
+                                           (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+                part += jax.lax.dot_general(xo[:, sl], hi[sl],
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                acc[:] += part * sr[g].astype(jnp.float32)
+
+    accumulate(q_ref, s_ref, acc_scr)
+    if gate:
+        accumulate(q2_ref, s2_ref, acc2_scr)
+
+    @pl.when(j == nblocks - 1)
+    def _finish():
+        if gate:
+            # round to the output dtype first (matching the jnp path's bf16
+            # dot outputs), then gate in f32: Mosaic on v5e cannot lower
+            # logistic on bf16 vectors ('vector.broadcast' element-type
+            # verification failure — measured)
+            g = acc_scr[:].astype(o_ref.dtype).astype(jnp.float32)
+            u = acc2_scr[:].astype(o_ref.dtype).astype(jnp.float32)
+            o_ref[0] = (g * jax.nn.sigmoid(g) * u).astype(o_ref.dtype)
+        else:
+            o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+
+
 def _int4_kernel(xe_ref, xo_ref, q_ref, s_ref, o_ref, acc_scr, *,
                  n_groups_per_block: int, group_size: int):
     j = pl.program_id(1)
@@ -162,4 +281,86 @@ def quant_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
         scratch_shapes=[acc],
         interpret=interpret,
     )(xe[None], xo[None], q, scale.astype(jnp.float32))
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "block_in",
+                                             "block_out", "norm", "norm_eps",
+                                             "gate", "interpret"))
+def quant_matmul_fused_pallas(x: jnp.ndarray, q: jnp.ndarray,
+                              scale: jnp.ndarray, norm_w=None, *, bits: int,
+                              group_size: int, block_in: int = 512,
+                              block_out: int = 512, norm: bool = False,
+                              norm_eps: float = 1e-5, gate: bool = False,
+                              interpret: bool = False) -> jnp.ndarray:
+    """quant_matmul_pallas with the layer's elementwise chain fused in-kernel
+    (see _fused_kernel): ``norm`` rms-norms x rows first (int8 only, and the
+    in-block must span the whole contraction); ``gate`` treats q as the fused
+    gate|up projection [In, 2F] and returns silu(x@w_gate) * (x@w_up) [M, F].
+    """
+    M, In = x.shape
+    Out = q.shape[-1]
+    G = scale.shape[0]
+    gsz = group_size if G > 1 else In
+    block_in = min(block_in, In)
+    if G == 1:
+        if bits != 8 or In % block_in != 0:
+            block_in = In
+    else:
+        tile = 8 * gsz
+        block_in = (max(tile, block_in // tile * tile)
+                    if In % tile == 0 else In)
+    n_in = In // block_in
+    assert In % block_in == 0
+    assert not norm or (bits == 8 and n_in == 1), \
+        "norm fusion needs int8 x and one in-block spanning the contraction"
+    F = Out // 2 if gate else Out
+    block_out = min(block_out, F)
+    assert F % block_out == 0, (F, block_out)
+    ngb = max(block_in // gsz, 1) if G > 1 else 1
+    n_out = F // block_out
+    sblk = block_in // gsz if G > 1 else 1
+
+    kernel = functools.partial(_fused_kernel, n_groups_per_block=ngb,
+                               group_size=gsz, bits=bits, norm=norm,
+                               norm_eps=norm_eps, gate=gate)
+    sspec = lambda off: pl.BlockSpec(
+        (sblk, block_out),
+        (lambda o, j: (j if G > 1 else 0, o + off)) if off
+        else (lambda o, j: (j if G > 1 else 0, o)))
+    if bits == 8:
+        in_specs = [pl.BlockSpec((1, M, block_in), lambda o, j: (0, 0, j))]
+        args = [x[None]]
+    else:
+        in_specs = [pl.BlockSpec((1, M, block_in // 2), lambda o, j: (0, 0, j)),
+                    pl.BlockSpec((1, M, block_in // 2), lambda o, j: (0, 0, j))]
+        args = [x[:, 0::2][None], x[:, 1::2][None]]
+    wrows = block_in // (2 if bits == 4 else 1)
+    in_specs += [pl.BlockSpec((wrows, block_out), lambda o, j: (j, o)),
+                 sspec(0)]
+    args += [q, scale.astype(jnp.float32)]
+    if gate:
+        off = n_out
+        in_specs += [pl.BlockSpec((wrows, block_out),
+                                  lambda o, j: (j, o + off)),
+                     sspec(off)]
+        args += [q, scale.astype(jnp.float32)]
+    if norm:
+        in_specs += [pl.BlockSpec((1, block_in), lambda o, j: (0, j))]
+        args += [norm_w.astype(x.dtype)[None]]
+
+    scratch = [pltpu.VMEM((M, block_out), jnp.float32)]
+    if gate:
+        scratch += [pltpu.VMEM((M, block_out), jnp.float32)]
+    if norm:
+        scratch += [pltpu.VMEM((M, block_in), x.dtype)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_out, n_in),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, M, block_out), lambda o, j: (0, 0, o)),
+        out_shape=jax.ShapeDtypeStruct((1, M, F), x.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
     return out[0]

@@ -116,13 +116,73 @@ def dequantize_weight(wq: QuantizedWeight, dtype=jnp.bfloat16) -> jnp.ndarray:
     return deq.reshape(*q.shape[:-2], In, out).astype(dtype)
 
 
-def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight) -> jnp.ndarray:
+def _rms_norm(x, w, eps):
+    """models.llama.rms_norm twin (kept local — llama imports this module)."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return n.astype(x.dtype) * w
+
+
+def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
+                 gate: bool = False) -> jnp.ndarray:
     """x [..., in] @ dequant(wq) — jnp reference path (cast fused by XLA).
 
     Matches the reference forward ``F.linear(x, w.to(x.dtype)) * scales``
     (quantize.py:86-87): per-output-channel scaling commutes with the
     contraction, so scale applies to the output.
+
+    ``norm``: optional (weight, eps) — rms-norm x first (fused in-kernel on
+    the pallas decode path; the surrounding [M, D] elementwise kernels are
+    pure fixed cost there).  ``gate``: wq is the fused gate|up projection
+    [In, 2F]; returns silu(x @ w_gate) * (x @ w_up) [..., F].
     """
+    if (norm is not None or gate) and _MATMUL_BACKEND == "pallas" \
+            and wq.q.ndim == 2:
+        from magicdec_tpu.ops import pallas as PL
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_fused_pallas
+
+        In = wq.q.shape[0] * (2 if wq.bits == 4 else 1)
+        Out = wq.q.shape[1]
+        F = Out // 2 if gate else Out
+        lead = x.shape[:-1]
+        M = 1
+        for d in lead:
+            M *= d
+        if M <= 256 and In % 512 == 0 and F % 256 == 0:
+            def in_block_cap(In):
+                for cand in (2048, 1024, 512):
+                    if In % cand == 0:
+                        return cand
+                return In
+            block_in = in_block_cap(In)
+            # norm fusion needs the whole contraction in one int8 block (the
+            # row statistic); otherwise pre-norm in jnp and fuse only gate
+            fuse_norm = (norm is not None and wq.bits == 8
+                         and block_in == In)
+            xm = x.reshape(M, In)
+            if norm is not None and not fuse_norm:
+                xm = _rms_norm(xm, norm[0], norm[1])
+            w_bytes_per_out = (block_in * (1 if wq.bits == 8 else 0.5)
+                               * (2 if gate else 1))
+            block_out = 256
+            for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384):
+                if F % bo == 0 and bo * w_bytes_per_out <= 2 * 1024 * 1024:
+                    block_out = bo
+                    break
+            y = quant_matmul_fused_pallas(
+                xm, wq.q, wq.scale,
+                norm[0] if fuse_norm else None,
+                bits=wq.bits, group_size=wq.group_size,
+                block_in=block_in, block_out=block_out,
+                norm=fuse_norm, norm_eps=(norm[1] if fuse_norm else 1e-5),
+                gate=gate, interpret=PL.use_interpret())
+            return y.reshape(*lead, F)
+    if norm is not None:
+        x = _rms_norm(x, norm[0], norm[1])
+    if gate:
+        y = quant_matmul(x, wq)
+        F = y.shape[-1] // 2
+        return jax.nn.silu(y[..., :F]) * y[..., F:]
     if _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
         from magicdec_tpu.ops import pallas as PL
         from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_pallas

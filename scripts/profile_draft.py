@@ -81,11 +81,13 @@ def main():
 
         def body(carry, wl):
             x = carry
-            xn = M.rms_norm(x, wl["attn_norm"], cfg.norm_eps)
-            q, k, v = M._qkv(xn, wl, cfg)
+            # pre-norms now live INSIDE _qkv/_mlp (fused into the quantized
+            # dots on the pallas path), so this chain times dots+their fused
+            # elementwise — the remaining glue is rope/reshape/residuals
+            q, k, v = M._qkv(x, wl, cfg)
             out = q.reshape(B, 1, Hq * hd)
             h = x + M.matmul(out, wl["wo"])
-            h = h + M._mlp(M.rms_norm(h, wl["ffn_norm"], cfg.norm_eps), wl)
+            h = h + M._mlp(h, wl, cfg)
             return h, None
 
         x, _ = jax.lax.scan(body, x, w["layers"])

@@ -102,6 +102,62 @@ class TestQuantMatmulKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3, rtol=1e-3)
 
+    @pytest.mark.parametrize("bits,group", [(8, None), (8, 32)])
+    def test_fused_norm_matches_norm_then_matmul(self, bits, group):
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_fused_pallas
+
+        x, wq, _ = self._mk(bits, group)
+        nw = jnp.asarray(np.random.RandomState(9).rand(x.shape[1])
+                         .astype(np.float32) + 0.5)
+        ref = Q.quant_matmul(Q._rms_norm(x, nw, 1e-5), wq)
+        out = quant_matmul_fused_pallas(
+            x, wq.q, wq.scale, nw, bits=bits, group_size=wq.group_size,
+            block_in=x.shape[1], block_out=64, norm=True, norm_eps=1e-5,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    @pytest.mark.parametrize("bits,group", [(8, None), (8, 32), (4, 32)])
+    def test_fused_gate_matches_silu_gate(self, bits, group):
+        """w13 gate|up fusion: silu(x@w[:, :F]) * (x@w[:, F:])."""
+        import jax
+
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_fused_pallas
+
+        x, wq, y = self._mk(bits, group)
+        F = y.shape[-1] // 2
+        ref = jax.nn.silu(y[..., :F]) * y[..., F:]
+        out = quant_matmul_fused_pallas(
+            x, wq.q, wq.scale, bits=bits, group_size=wq.group_size,
+            block_in=64, block_out=64, gate=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_fused_norm_gate_dispatcher_end_to_end(self):
+        """Q.quant_matmul(norm=..., gate=True) through the pallas backend
+        (interpret) == the jnp backend bit-for-bit semantics."""
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops import pallas as PL
+
+        rng = np.random.RandomState(3)
+        In, F, M = 512, 256, 8
+        w = jnp.asarray(rng.randn(In, 2 * F).astype(np.float32))
+        x = jnp.asarray(rng.randn(M, In).astype(np.float32))
+        nw = jnp.asarray(rng.rand(In).astype(np.float32) + 0.5)
+        wq = Q.quantize_weight(w, bits=8)
+        ref = Q.quant_matmul(x, wq, norm=(nw, 1e-5), gate=True)
+        old = Q._MATMUL_BACKEND
+        Q.set_matmul_backend("pallas")
+        try:
+            assert PL.use_interpret()
+            out = Q.quant_matmul(x, wq, norm=(nw, 1e-5), gate=True)
+        finally:
+            Q.set_matmul_backend(old)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
 
 # ---------------------------------------------------------------------------
 # fresh-token mode: window/chunk tokens as separate operands (the read-only
