@@ -189,12 +189,16 @@ def make_longspec_params(tcfg, dcfg, seed=0, dtype=jnp.bfloat16,
 
     A, C, t_embed, t_head = jax.jit(backbone)(next(keys), next(keys),
                                               next(keys))
+    # quantize head/embed under jit BEFORE the layer stacks exist: the eager
+    # quantize path materializes ~3 f32 copies of the [D, V] head (measured
+    # OOM at 8B with the layers already resident), while jit fuses them
+    if t_bits:
+        import functools as _ft
+        t_head = jax.jit(_ft.partial(Q.quantize_weight, bits=t_bits))(t_head)
+    if quantize_embed:
+        t_embed = jax.jit(Q.quantize_embed)(t_embed)
     t_layers = _synth_layers(tcfg, keys, dtype, target_residual, bits=t_bits)
     d_layers = _synth_layers(dcfg, keys, dtype, draft_residual, bits=None)
-    if t_bits:
-        t_head = Q.quantize_weight(t_head, t_bits)
-    if quantize_embed:
-        t_embed = Q.quantize_embed(t_embed)
     target = {"embed": t_embed, "layers": t_layers,
               "final_norm": jnp.ones((Dt,), dtype), "lm_head": t_head}
     draft = {"embed": A, "layers": d_layers,

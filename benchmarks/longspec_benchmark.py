@@ -45,6 +45,9 @@ def main():
                    help="quantize the TARGET weights (layer-streamed on-"
                         "device generation for 8B-class synthetic shapes)")
     p.add_argument("--quantize_embed", action="store_true")
+    p.add_argument("--baseline", action="store_true",
+                   help="also run the target's autoregressive baseline at "
+                        "the same shape and report vs_baseline")
     p.add_argument("--quant_backend", default="pallas",
                    choices=["jnp", "pallas"],
                    help="fused dequant+matmul kernels for quantized weights "
@@ -137,6 +140,47 @@ def main():
               "large model step: {}".format(total_time, total_time / total_steps,
                                             total_tokens, total_steps))
         print(f"Final tokens per second :{total_tokens / total_time:.2f}")
+
+    base_tps = 0.0
+    if args.baseline and total_time > 0:
+        # autoregressive baseline on the TARGET at the same shape, so the
+        # speedup is self-contained (reference runs tests/baseline_benchmark
+        # separately at matching configs, README.md:61)
+        bt, btok = 0.0, 0
+        for i, batch in enumerate(batch_iterator(
+                data[: args.num_batches * args.B], args.B)):
+            prompt = jnp.asarray(batch[:, : args.prefix_len], jnp.int32)
+            st = engine.encode_baseline(prompt, rng=common.sampling_rng(args))
+            common.force(st.token0)
+            with common.Timer() as t:
+                st, stats = engine.generate_baseline(st, max_new=args.max_gen)
+                gen = int(np.asarray(stats["gen_tokens"]).sum())
+            if i >= args.warmup_batches:
+                bt += t.t
+                btok += gen
+            print(f"[baseline batch {i}] {gen} tok, {t.t:.3f}s "
+                  f"({gen / t.t:.1f} tok/s)"
+                  f"{' [warmup]' if i < args.warmup_batches else ''}",
+                  file=sys.stderr)
+        base_tps = btok / bt if bt > 0 else 0.0
+        print(f"Baseline tokens per second :{base_tps:.2f}")
+
+    if total_time > 0:
+        import json
+
+        tps = total_tokens / total_time
+        qtag = f"_{args.quantize}" if args.quantize else ""
+        qtag += f"_kvq{args.kv_quant[3:]}" if args.kv_quant else ""
+        qtag += f"_dq{args.draft_quant[3:]}" if args.draft_quant else ""
+        print(json.dumps({
+            "metric": f"longspec_{mode}_tokens_per_s_{args.model}"
+                      f"_draft_{args.draft_model}{qtag}_B{args.B}"
+                      f"_ctx{args.prefix_len}",
+            "value": round(tps, 2), "unit": "tok/s",
+            "vs_baseline": round(tps / base_tps, 4) if base_tps else 1.0,
+            "tokens_per_step": round(
+                total_tokens / max(total_steps, 1) / args.B, 3),
+        }))
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ the name, Engine/utils.py:201-205) or explicitly via ``quantize_params``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.struct
@@ -273,6 +274,16 @@ def quantize_embed(embed: jnp.ndarray, bits: int = 8) -> QuantizedWeight:
     return quantize_weight(embed.T, bits=bits)
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_quantize_weight(bits, group_size):
+    """Jitted quantize_weight: the eager path materializes ~3 f32 copies of
+    the weight (wf/grouped/q) — at 8B-leaf sizes that transient alone OOMs a
+    chip that comfortably holds the quantized result; under jit XLA fuses
+    the pipeline to input + outputs."""
+    return jax.jit(functools.partial(quantize_weight, bits=bits,
+                                     group_size=group_size))
+
+
 def quantize_params(params, bits: int = 8, group_size: int = None,
                     include_head: bool = True,
                     materialize_tied_head: bool = False,
@@ -291,21 +302,20 @@ def quantize_params(params, bits: int = 8, group_size: int = None,
     ~5 ms draft step at llama-3.2-1b B=32 (scripts/profile_draft.py) while
     the target keeps its exact tied head for verification.
     """
+    qw = _jit_quantize_weight(bits, group_size)
     layers = dict(params["layers"])
     for key in QUANT_KEYS:
         if layers.get(key) is not None:
-            layers[key] = quantize_weight(layers[key], bits, group_size=group_size)
+            layers[key] = qw(layers[key])
     out = dict(params, layers=layers)
     embed = params.get("embed")
     embed_quantized = is_quantized(embed)
     if include_head:
         if params.get("lm_head") is not None and not is_quantized(params["lm_head"]):
-            out["lm_head"] = quantize_weight(params["lm_head"], bits,
-                                             group_size=group_size)
+            out["lm_head"] = qw(params["lm_head"])
         elif (materialize_tied_head and params.get("lm_head") is None
               and embed is not None and not embed_quantized):
-            out["lm_head"] = quantize_weight(embed.T, bits,
-                                             group_size=group_size)
+            out["lm_head"] = qw(embed.T)
     if include_embed and embed is not None and not embed_quantized:
         out["embed"] = quantize_embed(embed)  # int8 always (see quantize_embed)
     return out
