@@ -50,6 +50,9 @@ def add_common_args(p: argparse.ArgumentParser):
                         "standalone draft).  Draft decode is weight-HBM-"
                         "bound, and the output still exactly matches the "
                         "full-precision target's")
+    p.add_argument("--kv_scale", default="f32", choices=["f32", "bf16"],
+                   help="quantized-cache scale dtype (bf16 halves scale "
+                        "memory/traffic; spec==AR parity unaffected)")
     p.add_argument("--prefill_chunk", type=int, default=0,
                    help="target prefill chunk size (0 = EngineConfig."
                         "chunk_size; larger chunks feed the MXU better)")

@@ -109,8 +109,14 @@ def main():
                         attn_backend=args.attn_backend,
                         prefill_chunk_size=args.prefill_chunk,
                         kv_quant=args.kv_quant or False,
+                        kv_scale_dtype=(jnp.bfloat16 if args.kv_scale == "bf16"
+                                        else jnp.float32),
                         draft_quant=args.draft_quant or False)
     engine = LongSpecEngine(params, cfg, dparams, dcfg, ecfg, mesh=mesh)
+    # the engine holds (possibly re-fused/quantized) copies; dropping the
+    # driver's refs lets the original leaves free — at 8B the driver-held
+    # bf16 draft alone is ~2.3 GB of dead HBM
+    del params, dparams
 
     data = common.load_dataset(args, min(cfg.vocab_size, dcfg.vocab_size))
     total_time, total_tokens, total_steps = 0.0, 0, 0
@@ -134,6 +140,8 @@ def main():
               f"{' [warmup]' if i < args.warmup_batches else ''}",
               file=sys.stderr)
         common.print_output(args, stats)
+        st = stats = None  # free this batch's KV state BEFORE the next
+                           # encode allocates its own (2x caches OOMs at 8B)
 
     if total_time > 0:
         print("total time :{:.5f}s, time per iter :{:.5f}s, decoding step: {}, "
@@ -162,6 +170,7 @@ def main():
                   f"({gen / t.t:.1f} tok/s)"
                   f"{' [warmup]' if i < args.warmup_batches else ''}",
                   file=sys.stderr)
+            st = stats = None
         base_tps = btok / bt if bt > 0 else 0.0
         print(f"Baseline tokens per second :{base_tps:.2f}")
 
