@@ -106,6 +106,33 @@ def test_longspec_coupled_protocol_acceptance():
         "(independent random models give ~1.0)")
 
 
+def test_longspec_coupled_protocol_depth_invariant():
+    """Residual noise accumulates with depth; the 1/sqrt(L) default scaling
+    must keep acceptance in band at deeper stacks (the un-scaled protocol
+    measured 2.9 -> 1.41 tokens/step going from L=4/2 to the real 32/16
+    pairing on the TPU)."""
+    from bench import make_longspec_params
+    from magicdec_tpu.engine.engine import LongSpecEngine
+
+    tcfg = tiny_config(vocab_size=1024, n_layer=8, n_head=8, n_kv_head=4,
+                       dim=256, intermediate_size=512)
+    dcfg = tiny_config(vocab_size=1024, n_layer=4, n_head=4, n_kv_head=2,
+                       dim=128, intermediate_size=256)
+    tp, dp = make_longspec_params(tcfg, dcfg)
+    ecfg = EngineConfig(mode="streamingllm", gamma=GAMMA, draft_budget=257,
+                        max_seq_len=1024, chunk_size=128, max_gen=48,
+                        eot_ids=(-1,), cache_dtype=jnp.bfloat16)
+    eng = LongSpecEngine(tp, tcfg, dp, dcfg, ecfg)
+    B = 4
+    prompt = jnp.asarray(
+        np.random.RandomState(1).randint(0, 1024, (B, 768)), jnp.int32)
+    st = eng.encode(prompt)
+    st, stats = eng.generate(st)
+    rate = (int(np.asarray(stats["gen_tokens"]).sum())
+            / int(stats["target_steps"]) / B)
+    assert rate >= 2.2, f"depth scaling broken: {rate:.2f} tokens/step"
+
+
 def test_make_params_head_is_independent_by_default():
     """make_params(cfg) must produce an UNTIED head even when the config ties
     embeddings: a tied head on random weights degenerates acceptance to
