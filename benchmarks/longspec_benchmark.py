@@ -48,6 +48,13 @@ def main():
     p.add_argument("--baseline", action="store_true",
                    help="also run the target's autoregressive baseline at "
                         "the same shape and report vs_baseline")
+    p.add_argument("--target_residual", type=float, default=None,
+                   help="coupled synthetic protocol: per-layer residual "
+                        "scale of the target stack (default 0.24/sqrt(L) — "
+                        "a conservative acceptance ~0.55/token; 0.015 "
+                        "calibrates the measured on-chip acceptance into "
+                        "the reference's published 0.79-0.84/token band)")
+    p.add_argument("--draft_residual", type=float, default=None)
     p.add_argument("--quant_backend", default="pallas",
                    choices=["jnp", "pallas"],
                    help="fused dequant+matmul kernels for quantized weights "
@@ -81,7 +88,9 @@ def main():
         params, dparams = make_longspec_params(
             cfg, dcfg, t_bits=(None if not args.quantize
                                else 8 if args.quantize == "int8" else 4),
-            quantize_embed=args.quantize_embed)
+            quantize_embed=args.quantize_embed,
+            target_residual=args.target_residual,
+            draft_residual=args.draft_residual)
     else:
         params, cfg = common.load_params_and_config(args.model)
         dparams, dcfg = common.load_params_and_config(args.draft_model)
