@@ -121,6 +121,21 @@ def _pick_block_s(S: int, lane_bytes: int, budget: int = 2 * 1024 * 1024) -> int
     return best
 
 
+def _pick_block_r(GT: int, cap: int = 512) -> int:
+    """Largest 128-multiple divisor of the grouped-query row count <= cap.
+
+    min(cap, GT) is NOT always a divisor: ragged admission buckets produce
+    remainder prefill chunks like T=224 -> G*T=896, which passes the
+    (G*T) % 128 == 0 dispatch guard but crashes the kernel's
+    GT % block_r == 0 contract at block_r=512 (measured in paged serving
+    with --ragged on hardware)."""
+    best = 128
+    for br in range(128, min(GT, cap) + 1, 128):
+        if GT % br == 0:
+            best = br
+    return best
+
+
 def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
                       backend: str = "jnp") -> jnp.ndarray:
     """Causal quantized-KV attention with backend dispatch (int8 flat or int4
@@ -154,7 +169,7 @@ def attend_auto_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens, *,
                 fn = (PA.flash_prefill_attend_quant4 if packed4
                       else PA.flash_prefill_attend_quant)
                 return fn(q, k_cache, k_scale, v_cache, v_scale, base_lens,
-                          block_s=block_s, block_r=min(512, G * T),
+                          block_s=block_s, block_r=_pick_block_r(G * T),
                           interpret=_interp())
     return attend_quant(q, k_cache, k_scale, v_cache, v_scale, base_lens,
                         causal=True)
@@ -184,7 +199,7 @@ def attend_auto(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                 from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
                 return flash_prefill_attend(q, k_cache, v_cache, base_lens,
                                             block_s=block_s,
-                                            block_r=min(512, G * T),
+                                            block_r=_pick_block_r(G * T),
                                             interpret=_interp())
     return attend(q, k_cache, v_cache, base_lens, causal=True)
 
@@ -286,7 +301,7 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                           else PA.flash_prefill_attend_quant)
                     return fn(q, k_cache, k_scale, v_cache, v_scale,
                               base_lens, layer=layer, block_s=block_s,
-                              block_r=min(512, G * T), interpret=_interp(),
+                              block_r=_pick_block_r(G * T), interpret=_interp(),
                               **fresh_kw)
         kc = _slice_layer(k_cache, layer)
         vc = _slice_layer(v_cache, layer)
@@ -316,7 +331,7 @@ def attend_cache(q, caches, base_lens, *, layer, backend: str = "jnp",
                 from magicdec_tpu.ops.pallas.prefill_attention import flash_prefill_attend
                 return flash_prefill_attend(q, k_cache, v_cache, base_lens,
                                             layer=layer, block_s=block_s,
-                                            block_r=min(512, G * T),
+                                            block_r=_pick_block_r(G * T),
                                             interpret=_interp(), **fresh_kw)
     kc = _slice_layer(k_cache, layer)
     vc = _slice_layer(v_cache, layer)

@@ -80,6 +80,27 @@ def test_flash_prefill_matches_oracle():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_prefill_dispatch_ragged_remainder_chunk():
+    """G*T=896 passes the %128 dispatch guard but 512 does not divide it:
+    the block_r pick must fall back to a true divisor (ragged admission
+    remainder chunks crashed the kernel contract on hardware)."""
+    from magicdec_tpu.ops.attention import _pick_block_r, attend_auto
+
+    assert _pick_block_r(896) == 448
+    assert _pick_block_r(512) == 512
+    assert _pick_block_r(128) == 128
+    rng = np.random.RandomState(11)
+    B, Hkv, G, hd, S, T = 1, 2, 4, 32, 512, 224   # G*T = 896
+    q = jnp.asarray(rng.randn(B, T, Hkv * G, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, Hkv * hd), jnp.float32)
+    base = jnp.asarray([128], jnp.int32)
+    ref = attend(q, k, v, base, causal=True)
+    out = attend_auto(q, k, v, base, backend="flash")  # interpret on CPU
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 class TestQuantMatmulKernel:
     def _mk(self, bits, group, In=128, Out=64, M=4, seed=5):
         from magicdec_tpu import quantization as Q
