@@ -86,8 +86,10 @@ def test_prefill_dispatch_ragged_remainder_chunk():
     remainder chunks crashed the kernel contract on hardware)."""
     from magicdec_tpu.ops.attention import _pick_block_r, attend_auto
 
-    assert _pick_block_r(896) == 448
+    # 896 = 128*7: the only 128-multiple divisor <= 512 is 128 itself
+    assert _pick_block_r(896) == 128
     assert _pick_block_r(512) == 512
+    assert _pick_block_r(768) == 384
     assert _pick_block_r(128) == 128
     rng = np.random.RandomState(11)
     B, Hkv, G, hd, S, T = 1, 2, 4, 32, 512, 224   # G*T = 896
