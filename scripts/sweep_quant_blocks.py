@@ -5,7 +5,13 @@ weight-stream roofline after round 3 capped per-channel in-blocks at 2048
 (commit 4a8a1ae, a VMEM fix sized for 8B shapes); this sweeps (block_in,
 block_out) per dot shape to pick the fastest legal blocking per shape class.
 
-Usage: python scripts/sweep_quant_blocks.py [--M 32] [--iters 50]
+Usage: python scripts/sweep_quant_blocks.py [--M 32] [--iters 2000]
+
+CAVEAT (measured round 4): the two-chain slope estimator is only
+trustworthy when each chain's wall time is >= ~200 ms — at 50 iters of a
+~20 us dot the run-to-run variance exceeded ±40% and even produced negative
+slopes.  Use --iters large enough that iters * dot_time >= 200 ms, and
+arbitrate real decisions with end-to-end decode-loop benches (bench.py).
 """
 
 import argparse
@@ -31,7 +37,7 @@ SHAPES = {  # llama-3.2-1b draft dots (In, Out)
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--M", type=int, default=32)
-    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--bits", type=int, default=8)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     args = p.parse_args()
