@@ -39,8 +39,10 @@ import jax.numpy as jnp
 from magicdec_tpu.config import ModelConfig
 from magicdec_tpu.ops import attention as attn_ops
 from magicdec_tpu.ops import kv_cache as kv_ops
-from magicdec_tpu.ops.rope import apply_rope, rope_inv_freq
-from magicdec_tpu.quantization import QuantizedWeight, is_quantized, quant_matmul
+from magicdec_tpu.ops.rope import (apply_rope, apply_rope_cs, rope_cos_sin,
+                                   rope_inv_freq)
+from magicdec_tpu.quantization import (QuantizedWeight, is_quantized,
+                                       quant_matmul, quant_mlp)
 
 # Layer-scan unroll factor, a perf A/B knob.  Read ONCE at import (not at
 # trace time): already-jitted programs never reflect later env changes and the
@@ -65,18 +67,27 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (norm.astype(x.dtype)) * w
 
 
-def _mlp(x: jnp.ndarray, wl: Params, cfg: ModelConfig) -> jnp.ndarray:
-    """FFN block INCLUDING its pre-norm: rms_norm -> silu-gated MLP.
+def _mlp(x: jnp.ndarray, wl: Params, cfg: ModelConfig,
+         residual=None) -> jnp.ndarray:
+    """FFN block INCLUDING its pre-norm: rms_norm -> silu-gated MLP
+    [+ residual].
 
     The norm lives here (not in the scan body) so the quantized fused-exec
     path can sink it — and the SiLU gate — into the Pallas dequant-dot
     kernel: at decode shapes the [M, D] elementwise kernels stranded between
-    opaque custom calls are pure fixed cost (~0.7 ms/16-layer draft scan)."""
+    opaque custom calls are pure fixed cost (~0.7 ms/16-layer draft scan).
+    When both w13 and w2 are int8 per-channel, the WHOLE block (norm, gate|up
+    dot, SiLU, down dot, residual add) is ONE pallas call
+    (quantization.quant_mlp); ``residual`` otherwise adds outside."""
     w13 = wl.get("w13")
     if w13 is not None and is_quantized(w13):
-        gated = quant_matmul(x, w13, norm=(wl["ffn_norm"], cfg.norm_eps),
-                             gate=True)
-        return matmul(gated, wl["w2"])
+        norm = (wl["ffn_norm"], cfg.norm_eps)
+        y = quant_mlp(x, w13, wl["w2"], norm, residual=residual)
+        if y is not None:
+            return y
+        gated = quant_matmul(x, w13, norm=norm, gate=True)
+        y = matmul(gated, wl["w2"])
+        return y if residual is None else residual + y
     x = rms_norm(x, wl["ffn_norm"], cfg.norm_eps)
     if w13 is not None:  # fused gate|up dot (fuse_exec_params)
         gu = matmul(x, w13)
@@ -84,7 +95,8 @@ def _mlp(x: jnp.ndarray, wl: Params, cfg: ModelConfig) -> jnp.ndarray:
         gate, up = gu[..., :F], gu[..., F:]
     else:
         gate, up = matmul(x, wl["w1"]), matmul(x, wl["w3"])
-    return matmul(jax.nn.silu(gate) * up, wl["w2"])
+    y = matmul(jax.nn.silu(gate) * up, wl["w2"])
+    return y if residual is None else residual + y
 
 
 def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
@@ -128,6 +140,20 @@ def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
             v.reshape(B, T, cfg.n_kv_head, hd))
 
 
+def _wo_residual(x: jnp.ndarray, out: jnp.ndarray, wl: Params,
+                 cfg: ModelConfig) -> jnp.ndarray:
+    """h = x + attn_out @ wo: the attention output projection WITH its
+    residual add (fused into the quantized dot's epilogue on the pallas path
+    — see quantization.quant_matmul(residual=); one fewer stranded [M, D]
+    elementwise dispatch per layer at decode shapes)."""
+    B, t = out.shape[:2]
+    o = out.reshape(B, t, cfg.n_head * cfg.head_dim)
+    w = wl["wo"]
+    if is_quantized(w):
+        return quant_matmul(o, w, residual=x)
+    return x + matmul(o, w)
+
+
 def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
     """Single-device execution layout: wq|wk|wv -> wqkv and w1|w3 -> w13,
     concatenated along the output axis so each layer runs one QKV dot and one
@@ -169,7 +195,9 @@ def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 # An AttnHook maps (RAW x, layer weights, FULL stacked caches, layer idx)
-# -> (attn_out, new stacked caches, per-layer rows to append post-scan).
+# -> (h, new stacked caches, per-layer rows to append post-scan), where h is
+# the POST-residual attention half (x + attn_out @ wo — hooks end with
+# _wo_residual so the add rides the quantized dot's epilogue).
 # Decode-path hooks leave caches untouched and return the layer's new KV as
 # ``rows`` (collected as scan ys and appended ONCE after the scan); prefill
 # hooks that must mutate caches between layers return updated caches and
@@ -198,10 +226,11 @@ def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches
     def body(carry, wl):
         x, caches, l = carry
         # hooks receive RAW x; the pre-norms live inside _qkv/_mlp so the
-        # quantized fused-exec path can sink them into the dequant-dot kernel
-        attn_out, caches, rows = layer_attn(x, wl, caches, l)
-        h = x + attn_out
-        out = h + _mlp(h, wl, cfg)
+        # quantized fused-exec path can sink them into the dequant-dot
+        # kernel; both residual adds are fused into kernel epilogues too
+        # (_wo_residual inside the hook, residual= below)
+        h, caches, rows = layer_attn(x, wl, caches, l)
+        out = _mlp(h, wl, cfg, residual=h)
         return (out, caches, l + 1), rows
 
     (x, new_caches, _), rows = jax.lax.scan(
@@ -270,16 +299,17 @@ def head_sample(params: Params, cfg: ModelConfig, x: jnp.ndarray,
 
 
 def _attn_project(x: jnp.ndarray, wl: Params, cfg: ModelConfig,
-                  pos_q: jnp.ndarray, pos_k: Optional[jnp.ndarray],
-                  inv_freq: jnp.ndarray):
+                  cs_q, cs_k):
     """Pre-norm + projections + rope (the norm applies inside _qkv).
-    pos_*: [B, T] absolute rope positions.
-    pos_k=None leaves k un-roped (StreamingLLM draft prefill stores raw keys,
+    cs_*: precomputed (cos, sin) [B, T, head_dim//2] — positions are
+    layer-invariant, so forwards build them ONCE outside the layer scan
+    (rope_cos_sin; lax.scan does not hoist xs-invariant transcendentals).
+    cs_k=None leaves k un-roped (StreamingLLM draft prefill stores raw keys,
     reference Engine/StreamingLLM/model.py:402-419)."""
     q, k, v = _qkv(x, wl, cfg)
-    q = apply_rope(q, pos_q, inv_freq)
-    if pos_k is not None:
-        k = apply_rope(k, pos_k, inv_freq)
+    q = apply_rope_cs(q, *cs_q)
+    if cs_k is not None:
+        k = apply_rope_cs(k, *cs_k)
     return q, k, v
 
 
@@ -332,13 +362,13 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
+        cs = rope_cos_sin(pos, inv_freq)  # once, outside the layer scan
+
         def hook(x, wl, caches, l):
-            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
+            q, k, v = _attn_project(x, wl, cfg, cs, cs)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
-            B, t = x.shape[:2]
-            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, caches, rows
+            return _wo_residual(x, out, wl, cfg), caches, rows
         return hook
 
     finalize = functools.partial(_target_finalize, base_lens=base_lens,
@@ -526,15 +556,16 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
+        cs = rope_cos_sin(pos, inv_freq)  # once, outside the layer scan
+
         def hook(x, wl, caches, l):
-            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
+            q, k, v = _attn_project(x, wl, cfg, cs, cs)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
             # draft cache stays bf16 (it is budget-sized, not bandwidth-bound)
             drows = _kv_rows(k, v, caches, prefix="d")
-            B, t = x.shape[:2]
-            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, caches, {"t": rows, "d": drows}
+            return _wo_residual(x, out, wl, cfg), caches, {"t": rows,
+                                                           "d": drows}
         return hook
 
     def finalize(caches, rows):
@@ -566,8 +597,10 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
     pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
+        cs = rope_cos_sin(pos, inv_freq)  # once, outside the layer scan
+
         def hook(x, wl, caches, l):
-            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
+            q, k, v = _attn_project(x, wl, cfg, cs, cs)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
             # compression scores/gathers need this layer's dense KV including
@@ -593,11 +626,10 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
                 kernel_size=kernel_size, pooling=pooling)
             Bq = q_win.shape[0]
-            B, t = x.shape[:2]
-            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
             drows = {"dk": dk_new.reshape(Bq, budget, -1).astype(caches["dk"].dtype),
                      "dv": dv_new.reshape(Bq, budget, -1).astype(caches["dv"].dtype)}
-            return y, caches, {"t": rows, "d": drows}
+            return _wo_residual(x, out, wl, cfg), caches, {"t": rows,
+                                                           "d": drows}
         return hook
 
     def finalize(caches, rows):
@@ -633,28 +665,32 @@ def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
     slot_pos = jnp.arange(budget, dtype=jnp.int32)
 
     def builder(cfg, inv_freq):
+        cs_q = rope_cos_sin(pos_q, inv_freq)
+        cs_slot = rope_cos_sin(slot_pos[None], inv_freq)
+
         def hook(x, wl, caches, l):
             # prefill-only path: the eviction/re-rope logic works on this
             # layer's slice of the (budget-sized) draft cache; slice copies
             # here are cheap and nothing feeds a custom call
-            q, k, v = _attn_project(x, wl, cfg, pos_q, None, inv_freq)
+            q, k, v = _attn_project(x, wl, cfg, cs_q, None)
             dk_l = jax.lax.dynamic_index_in_dim(caches["dk"], l, 0, keepdims=False)
             dv_l = jax.lax.dynamic_index_in_dim(caches["dv"], l, 0, keepdims=False)
             dk, dv, _, _ = stream_update_raw(dk_l, dv_l, k, v,
                                              fill, budget=budget, sink=sink)
             hd = cfg.head_dim
             kv_heads = dk.shape[2] // hd
-            k_att = apply_rope(dk[:, :budget].reshape(B, budget, kv_heads, hd),
-                               slot_pos[None], inv_freq)  # roped at slot positions
+            k_att = apply_rope_cs(
+                dk[:, :budget].reshape(B, budget, kv_heads, hd),
+                *cs_slot)  # roped at slot positions
             out = attn_ops.attend(q, k_att.reshape(B, budget, -1),
                                   dv[:, :budget], base, causal=True)
-            y = matmul(out.reshape(B, C, cfg.n_head * cfg.head_dim), wl["wo"])
+            h = _wo_residual(x, out, wl, cfg)
             caches = {**caches,
                       "dk": jax.lax.dynamic_update_index_in_dim(
                           caches["dk"], dk.astype(caches["dk"].dtype), l, 0),
                       "dv": jax.lax.dynamic_update_index_in_dim(
                           caches["dv"], dv.astype(caches["dv"].dtype), l, 0)}
-            return y, caches, None
+            return h, caches, None
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder, head="none")
@@ -693,15 +729,15 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     pos = rope_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
 
     def builder(cfg, inv_freq):
+        cs = rope_cos_sin(pos, inv_freq)  # once, outside the layer scan
+
         def hook(x, wl, caches, l):
-            q, k, v = _attn_project(x, wl, cfg, pos, pos, inv_freq)
+            q, k, v = _attn_project(x, wl, cfg, cs, cs)
             rows = _kv_rows(k, v, caches, prefix="d")
             out = attn_ops.attend_cache(q, caches, draft_fill, layer=l,
                                         backend=backend, prefix="d",
                                         fresh=rows)
-            B, t = x.shape[:2]
-            y = matmul(out.reshape(B, t, cfg.n_head * cfg.head_dim), wl["wo"])
-            return y, caches, rows
+            return _wo_residual(x, out, wl, cfg), caches, rows
         return hook
 
     def finalize(caches, rows):

@@ -57,7 +57,8 @@ def _int8_kernel(x_ref, q_ref, s_ref, o_ref, acc_scr, *, n_groups_per_block: int
 
 
 def _fused_kernel(*refs, n_groups_per_block: int, group_size: int, bits: int,
-                  norm: bool, norm_eps: float, gate: bool):
+                  norm: bool, norm_eps: float, gate: bool,
+                  residual: bool = False):
     """One draft-layer dot with its surrounding elementwise chain fused.
 
     The Pallas quant dots are opaque custom calls, so XLA cannot fuse the
@@ -75,10 +76,15 @@ def _fused_kernel(*refs, n_groups_per_block: int, group_size: int, bits: int,
       per grid cell — gate block o and up block o + F/block_out of the SAME
       [In, 2F] array — and emits silu(gate) * up [M, F].  No weight
       relayout, second accumulator in VMEM.
+    - ``residual``: adds a [M, Out] residual operand to the output in the
+      finish epilogue (the layer's `x + attn_out @ wo` add, otherwise a
+      stranded [M, D] elementwise dispatch between opaque custom calls).
 
     refs order: x (int8: [1,M,bi]; int4: xe, xo [1,M,bi//2]), q, s,
-    [q2, s2 when gate], [norm_w when norm], o_ref, acc, [acc2 when gate].
+    [q2, s2 when gate], [norm_w when norm], [res when residual], o_ref,
+    acc, [acc2 when gate].
     """
+    assert not (gate and residual)
     i = 0
     if bits == 8:
         x_parts = (refs[i],); i += 1
@@ -91,6 +97,9 @@ def _fused_kernel(*refs, n_groups_per_block: int, group_size: int, bits: int,
     nw_ref = None
     if norm:
         nw_ref = refs[i]; i += 1
+    res_ref = None
+    if residual:
+        res_ref = refs[i]; i += 1
     o_ref = refs[i]; i += 1
     acc_scr = refs[i]; i += 1
     if gate:
@@ -171,6 +180,8 @@ def _fused_kernel(*refs, n_groups_per_block: int, group_size: int, bits: int,
             g = acc_scr[:].astype(o_ref.dtype).astype(jnp.float32)
             u = acc2_scr[:].astype(o_ref.dtype).astype(jnp.float32)
             o_ref[0] = (g * jax.nn.sigmoid(g) * u).astype(o_ref.dtype)
+        elif residual:
+            o_ref[0] = acc_scr[:].astype(o_ref.dtype) + res_ref[0]
         else:
             o_ref[0] = acc_scr[:].astype(o_ref.dtype)
 
@@ -288,7 +299,8 @@ def quant_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
                                              "block_out", "norm", "norm_eps",
                                              "gate", "interpret"))
 def quant_matmul_fused_pallas(x: jnp.ndarray, q: jnp.ndarray,
-                              scale: jnp.ndarray, norm_w=None, *, bits: int,
+                              scale: jnp.ndarray, norm_w=None, res=None, *,
+                              bits: int,
                               group_size: int, block_in: int = 512,
                               block_out: int = 512, norm: bool = False,
                               norm_eps: float = 1e-5, gate: bool = False,
@@ -296,7 +308,8 @@ def quant_matmul_fused_pallas(x: jnp.ndarray, q: jnp.ndarray,
     """quant_matmul_pallas with the layer's elementwise chain fused in-kernel
     (see _fused_kernel): ``norm`` rms-norms x rows first (int8 only, and the
     in-block must span the whole contraction); ``gate`` treats q as the fused
-    gate|up projection [In, 2F] and returns silu(x@w_gate) * (x@w_up) [M, F].
+    gate|up projection [In, 2F] and returns silu(x@w_gate) * (x@w_up) [M, F];
+    ``res`` [M, Out] is added to the output in the finish epilogue.
     """
     M, In = x.shape
     Out = q.shape[-1]
@@ -323,7 +336,8 @@ def quant_matmul_fused_pallas(x: jnp.ndarray, q: jnp.ndarray,
 
     kernel = functools.partial(_fused_kernel, n_groups_per_block=ngb,
                                group_size=gsz, bits=bits, norm=norm,
-                               norm_eps=norm_eps, gate=gate)
+                               norm_eps=norm_eps, gate=gate,
+                               residual=res is not None)
     sspec = lambda off: pl.BlockSpec(
         (sblk, block_out),
         (lambda o, j: (j if G > 1 else 0, o + off)) if off
@@ -348,6 +362,9 @@ def quant_matmul_fused_pallas(x: jnp.ndarray, q: jnp.ndarray,
     if norm:
         in_specs += [pl.BlockSpec((1, block_in), lambda o, j: (0, j))]
         args += [norm_w.astype(x.dtype)[None]]
+    if res is not None:
+        in_specs += [pl.BlockSpec((1, M, block_out), lambda o, j: (0, 0, o))]
+        args += [res[None]]
 
     scratch = [pltpu.VMEM((M, block_out), jnp.float32)]
     if gate:
@@ -361,6 +378,115 @@ def quant_matmul_fused_pallas(x: jnp.ndarray, q: jnp.ndarray,
         out_specs=pl.BlockSpec((1, M, block_out), lambda o, j: (0, 0, o)),
         out_shape=jax.ShapeDtypeStruct((1, M, F), x.dtype),
         scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return out[0]
+
+
+def _mlp_kernel(x_ref, qg_ref, sg_ref, qu_ref, su_ref, q2_ref, s2_ref, nw_ref,
+                *rest, norm_eps: float, residual: bool):
+    """One FFN block — rms_norm -> silu(x@w_gate) * (x@w_up) @ w2 [+ res] —
+    as a single sequential grid over F-blocks.
+
+    Valid for int8 per-output-channel weights with the whole D contraction in
+    one block (the norm's row statistic, and w2's per-column scales commute
+    with the contraction so each F-block's partial product can be scaled and
+    accumulated independently).  The normalized rows are computed ONCE into
+    VMEM scratch at f == 0 (grid cells run sequentially; re-norming per
+    F-block costs more than the fusion saves — measured on v5e for the w13
+    out-block grid).  Collapses the layer's FFN from two pallas calls + two
+    stranded elementwise dispatches to ONE call: at decode shapes the dots
+    are weight-bandwidth-bound and every call's fixed cost is pure overhead
+    (~0.95 ms of a 3.7 ms 16-layer draft scan, scripts/profile_draft.py).
+
+    refs: x [1,M,D], q13 gate block [D,bf], s gate [1,bf], q13 up block,
+    s up, q2 block [bf,D], s2 [1,D], norm_w [1,D], [res [1,M,D]], o [1,M,D];
+    scratch: hn [M,D] (x.dtype), acc [M,D] f32.
+    """
+    if residual:
+        res_ref, o_ref, hn_scr, acc_scr = rest
+    else:
+        o_ref, hn_scr, acc_scr = rest
+
+    f = pl.program_id(0)
+    nf = pl.num_programs(0)
+
+    @pl.when(f == 0)
+    def _init():
+        xf = x_ref[0].astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + norm_eps)
+        hn_scr[:] = (xf * r).astype(hn_scr.dtype) * nw_ref[0]
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    hn = hn_scr[:]
+    g = jax.lax.dot_general(hn, qg_ref[:].astype(hn.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = g * sg_ref[0].astype(jnp.float32)
+    u = jax.lax.dot_general(hn, qu_ref[:].astype(hn.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u * su_ref[0].astype(jnp.float32)
+    # round to the model dtype first (matching the two-call path's bf16 dot
+    # outputs), then gate in f32: Mosaic on v5e cannot lower logistic on
+    # bf16 vectors (CLAUDE.md legalization map)
+    gb = g.astype(o_ref.dtype).astype(jnp.float32)
+    ub = u.astype(o_ref.dtype).astype(jnp.float32)
+    gated = (gb * jax.nn.sigmoid(gb) * ub).astype(o_ref.dtype)
+    part = jax.lax.dot_general(gated, q2_ref[:].astype(gated.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    acc_scr[:] += part * s2_ref[0].astype(jnp.float32)
+
+    @pl.when(f == nf - 1)
+    def _fin():
+        y = acc_scr[:].astype(o_ref.dtype)
+        if residual:
+            y = y + res_ref[0]
+        o_ref[0] = y
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "norm_eps",
+                                             "interpret"))
+def quant_mlp_pallas(x: jnp.ndarray, q13: jnp.ndarray, s13: jnp.ndarray,
+                     q2: jnp.ndarray, s2: jnp.ndarray, norm_w: jnp.ndarray,
+                     res=None, *, block_f: int, norm_eps: float,
+                     interpret: bool = False) -> jnp.ndarray:
+    """res + rms_norm(x) |> silu-gated-MLP, one pallas call (see _mlp_kernel).
+
+    x [M, D]; q13 int8 [D, 2F] (gate cols [:F], up cols [F:]) with per-column
+    scales s13 [1, 2F]; q2 int8 [F, D] with s2 [1, D]; norm_w [D];
+    res optional [M, D].  Requires F % block_f == 0.
+    """
+    M, D = x.shape
+    F = q13.shape[-1] // 2
+    n_f = F // block_f
+    assert F % block_f == 0, (F, block_f)
+    in_specs = [
+        pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)),            # x
+        pl.BlockSpec((D, block_f), lambda f: (0, f)),            # w_gate blk
+        pl.BlockSpec((1, block_f), lambda f: (0, f)),            # s_gate
+        pl.BlockSpec((D, block_f), lambda f, n_f=n_f: (0, f + n_f)),  # w_up
+        pl.BlockSpec((1, block_f), lambda f, n_f=n_f: (0, f + n_f)),  # s_up
+        pl.BlockSpec((block_f, D), lambda f: (f, 0)),            # w2 blk
+        pl.BlockSpec((1, D), lambda f: (0, 0)),                  # s2
+        pl.BlockSpec((1, D), lambda f: (0, 0)),                  # norm_w
+    ]
+    s13f = s13.astype(jnp.float32)
+    args = [x[None], q13, s13f, q13, s13f, q2, s2.astype(jnp.float32),
+            norm_w.astype(x.dtype)[None]]
+    if res is not None:
+        in_specs.append(pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)))
+        args.append(res[None])
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, norm_eps=norm_eps,
+                          residual=res is not None),
+        grid=(n_f,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, M, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, D), x.dtype),
+                        pltpu.VMEM((M, D), jnp.float32)],
         interpret=interpret,
     )(*args)
     return out[0]

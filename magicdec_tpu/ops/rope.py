@@ -60,6 +60,23 @@ def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):
     return jnp.cos(angles), jnp.sin(angles)
 
 
+def apply_rope_cs(x: jnp.ndarray, cos: jnp.ndarray,
+                  sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate-half RoPE from PRECOMPUTED (cos, sin) [..., T, head_dim//2].
+
+    Positions are layer-invariant, so forwards compute cos/sin ONCE outside
+    the layer scan (lax.scan does not hoist xs-invariant work: computing them
+    per layer costs 2L transcendental dispatches per step)."""
+    half = x.shape[-1] // 2
+    cos = cos[..., None, :]  # broadcast over heads: [..., T, 1, half]
+    sin = sin[..., None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) -> jnp.ndarray:
     """Rotate-half RoPE.
 
@@ -68,12 +85,5 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray) ->
     back to x.dtype, matching the fp32-rotation convention of the reference's
     kernel path.
     """
-    half = x.shape[-1] // 2
     cos, sin = rope_cos_sin(positions, inv_freq)  # [..., T, half]
-    cos = cos[..., None, :]  # broadcast over heads: [..., T, 1, half]
-    sin = sin[..., None, :]
-    x1 = x[..., :half].astype(jnp.float32)
-    x2 = x[..., half:].astype(jnp.float32)
-    out1 = x1 * cos - x2 * sin
-    out2 = x2 * cos + x1 * sin
-    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+    return apply_rope_cs(x, cos, sin)

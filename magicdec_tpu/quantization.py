@@ -125,7 +125,7 @@ def _rms_norm(x, w, eps):
 
 
 def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
-                 gate: bool = False) -> jnp.ndarray:
+                 gate: bool = False, residual=None) -> jnp.ndarray:
     """x [..., in] @ dequant(wq) — jnp reference path (cast fused by XLA).
 
     Matches the reference forward ``F.linear(x, w.to(x.dtype)) * scales``
@@ -136,9 +136,13 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
     the pallas decode path; the surrounding [M, D] elementwise kernels are
     pure fixed cost there).  ``gate``: wq is the fused gate|up projection
     [In, 2F]; returns silu(x @ w_gate) * (x @ w_up) [..., F].
+    ``residual``: optional [..., Out] array ADDED to the output (fused into
+    the kernel's finish epilogue on the pallas path — the layer's residual
+    add is otherwise a stranded elementwise dispatch at decode shapes).
     """
-    if (norm is not None or gate) and _MATMUL_BACKEND == "pallas" \
-            and wq.q.ndim == 2:
+    assert not (gate and residual is not None)
+    if (norm is not None or gate or residual is not None) \
+            and _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
         from magicdec_tpu.ops import pallas as PL
         from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_fused_pallas
 
@@ -173,6 +177,7 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
             y = quant_matmul_fused_pallas(
                 xm, wq.q, wq.scale,
                 norm[0] if fuse_norm else None,
+                residual.reshape(M, F) if residual is not None else None,
                 bits=wq.bits, group_size=wq.group_size,
                 block_in=block_in, block_out=block_out,
                 norm=fuse_norm, norm_eps=(norm[1] if fuse_norm else 1e-5),
@@ -184,6 +189,8 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
         y = quant_matmul(x, wq)
         F = y.shape[-1] // 2
         return jax.nn.silu(y[..., :F]) * y[..., F:]
+    if residual is not None:
+        return residual + quant_matmul(x, wq)
     if _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
         from magicdec_tpu.ops import pallas as PL
         from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
@@ -255,6 +262,62 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
     wdeq = (q3.astype(jnp.float32)
             * wq.scale[..., :, None, :]).astype(x.dtype)
     return x @ wdeq.reshape(*q.shape[:-2], In, out)
+
+
+def quant_mlp(x: jnp.ndarray, w13: QuantizedWeight, w2: QuantizedWeight,
+              norm, residual=None):
+    """Whole FFN block — rms_norm -> silu-gated MLP -> w2 [+ residual] — as
+    ONE pallas call (ops/pallas/quant_matmul.quant_mlp_pallas) when shapes
+    allow, else ``None`` (caller falls back to the two-call path).
+
+    Requirements: pallas backend, unstacked int8 weights with per-output-
+    channel scales (G == 1: the column scales commute with the contraction,
+    so per-F-block partials can be scaled and accumulated independently),
+    decode-sized M, lane-tiled D that fits one VMEM block, and an F that
+    tiles by a 128-multiple block.  At decode shapes each pallas call's fixed
+    cost rivals its weight-stream time, so 2 calls + 2 stranded elementwise
+    dispatches -> 1 call is the draft scan's main remaining glue cut
+    (COVERAGE.md draft anatomy).
+    """
+    if _MATMUL_BACKEND != "pallas":
+        return None
+    if not (is_quantized(w13) and is_quantized(w2)):
+        return None
+    if w13.q.ndim != 2 or w2.q.ndim != 2:
+        return None
+    if w13.bits != 8 or w2.bits != 8:
+        return None
+    if w13.scale.shape[0] != 1 or w2.scale.shape[0] != 1:
+        return None
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    F = w13.q.shape[1] // 2
+    if w2.q.shape != (F, D):
+        return None
+    M = 1
+    for d in lead:
+        M *= d
+    # one D-spanning block per dot (the norm's row statistic); VMEM per grid
+    # cell is ~3*D*block_f int8 (gate + up + w2 blocks), double-buffered —
+    # keep it <= ~3 MiB so the whole call stays well under the 16 MiB scoped
+    # limit alongside the [M, D] hn/acc scratch
+    if not (M <= 256 and D % 128 == 0 and D <= 4096):
+        return None
+    block_f = 0
+    for bf in (1024, 768, 512, 384, 256, 128):
+        if F % bf == 0 and 3 * D * bf <= 3 * 1024 * 1024:
+            block_f = bf
+            break
+    if not block_f:
+        return None
+    from magicdec_tpu.ops import pallas as PL
+    from magicdec_tpu.ops.pallas.quant_matmul import quant_mlp_pallas
+
+    y = quant_mlp_pallas(
+        x.reshape(M, D), w13.q, w13.scale, w2.q, w2.scale, norm[0],
+        residual.reshape(M, D) if residual is not None else None,
+        block_f=block_f, norm_eps=norm[1], interpret=PL.use_interpret())
+    return y.reshape(*lead, D)
 
 
 def quantize_embed(embed: jnp.ndarray, bits: int = 8) -> QuantizedWeight:

@@ -158,6 +158,85 @@ class TestQuantMatmulKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-3, rtol=2e-3)
 
+    @pytest.mark.parametrize("bits,group", [(8, None), (8, 32), (4, 32)])
+    def test_fused_residual_matches_add(self, bits, group):
+        """quant_matmul(residual=) epilogue == res + plain quant dot."""
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_fused_pallas
+
+        x, wq, y = self._mk(bits, group)
+        res = jnp.asarray(np.random.RandomState(7)
+                          .randn(*y.shape).astype(np.float32))
+        ref = res + y
+        out = quant_matmul_fused_pallas(
+            x, wq.q, wq.scale, None, res, bits=bits,
+            group_size=wq.group_size, block_in=64, block_out=64,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_quant_mlp_matches_two_call_path(self):
+        """quant_mlp_pallas (norm -> silu-gated MLP -> w2 + residual in ONE
+        call) == the jnp norm/gate/matmul composition."""
+        import jax
+
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_mlp_pallas
+
+        rng = np.random.RandomState(21)
+        D, F, M = 256, 512, 8
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        res = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        nw = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        w13 = Q.quantize_weight(jnp.asarray(rng.randn(D, 2 * F), jnp.float32),
+                                bits=8)
+        w2 = Q.quantize_weight(jnp.asarray(rng.randn(F, D), jnp.float32),
+                               bits=8)
+        gu = Q.quant_matmul(Q._rms_norm(x, nw, 1e-5), w13)
+        gated = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+        ref = res + Q.quant_matmul(gated, w2)
+        out = quant_mlp_pallas(x, w13.q, w13.scale, w2.q, w2.scale, nw, res,
+                               block_f=128, norm_eps=1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+        # no-residual variant
+        out2 = quant_mlp_pallas(x, w13.q, w13.scale, w2.q, w2.scale, nw,
+                                block_f=128, norm_eps=1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref - res),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_quant_mlp_dispatcher_end_to_end(self):
+        """Q.quant_mlp through the pallas backend (interpret) == the jnp
+        two-call composition; bails (None) on group-wise / int4 weights."""
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops import pallas as PL
+
+        rng = np.random.RandomState(13)
+        D, F, M = 256, 512, 8
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        res = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        nw = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        w13 = Q.quantize_weight(jnp.asarray(rng.randn(D, 2 * F), jnp.float32),
+                                bits=8)
+        w2 = Q.quantize_weight(jnp.asarray(rng.randn(F, D), jnp.float32),
+                               bits=8)
+        gated = Q.quant_matmul(x, w13, norm=(nw, 1e-5), gate=True)
+        ref = res + Q.quant_matmul(gated, w2)
+        old = Q._MATMUL_BACKEND
+        Q.set_matmul_backend("pallas")
+        try:
+            assert PL.use_interpret()
+            out = Q.quant_mlp(x, w13, w2, (nw, 1e-5), residual=res)
+            # int4 / group-wise weights must bail to the two-call path
+            w13_g = Q.quantize_weight(
+                jnp.asarray(rng.randn(D, 2 * F), jnp.float32),
+                bits=8, group_size=32)
+            assert Q.quant_mlp(x, w13_g, w2, (nw, 1e-5)) is None
+        finally:
+            Q.set_matmul_backend(old)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
     def test_fused_norm_gate_dispatcher_end_to_end(self):
         """Q.quant_matmul(norm=..., gate=True) through the pallas backend
         (interpret) == the jnp backend bit-for-bit semantics."""

@@ -4,6 +4,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from magicdec_tpu import quantization as Q
@@ -172,6 +173,54 @@ def test_draft_quant_selfspec_matches_full_precision_greedy(mode, prefix):
     assert not Q.is_quantized(dq.params["layers"]["wqkv"])  # verify stays dense
     st = dq.encode(prompt)
     _, stats = dq.generate(st)
+    out = np.asarray(stats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= 14
+    for b in range(2):
+        m = min(int(n[b]), 14)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
+
+
+def test_draft_quant_pallas_backend_selfspec_greedy_parity():
+    """The PALLAS quant backend (interpret on CPU) through the whole engine:
+    spec output with an int8 draft running the fused quant_mlp / residual-
+    epilogue kernels == full-precision greedy AR.  Shapes are chosen so the
+    one-call MLP kernel actually engages (D % 128 == 0, F % 128 == 0 — the
+    production llama shapes route here; tiny_config's dim=64 bails to the
+    two-call path)."""
+    from tests.test_spec_parity import _random_params
+
+    cfg = tiny_config(vocab_size=128, n_layer=2, n_head=2, n_kv_head=2,
+                      dim=128, intermediate_size=128, block_size=512)
+    params = _random_params(cfg, seed=3)
+    base = dict(mode="streamingllm", gamma=2, draft_budget=33, max_seq_len=256,
+                chunk_size=16, window_size=8, sink_size=4, max_gen=14,
+                eot_ids=(-1,), cache_dtype=jnp.float32)
+    fp = SpecEngine(params, cfg, EngineConfig(**base))
+    prompt = _prompt(2, 48, seed=17)  # CFG.vocab==128 == cfg.vocab here
+    bst = fp.encode_baseline(prompt)
+    _, bstats = fp.generate_baseline(bst, max_new=14)
+    ref = np.asarray(bstats["output"])
+
+    old = Q._MATMUL_BACKEND
+    Q.set_matmul_backend("pallas")
+    try:
+        # the fused-exec draft weights must take the quant_mlp fast path
+        dq = SpecEngine(params, cfg,
+                        EngineConfig(draft_quant="int8", **base))
+        w13 = jax.tree_util.tree_map(  # layer 0 slice, as the scan sees it
+            lambda a: a[0], dq._dq_params["layers"]["w13"],
+            is_leaf=lambda a: hasattr(a, "shape"))
+        probe = Q.quant_mlp(jnp.zeros((2, cfg.dim), jnp.float32), w13,
+                            jax.tree_util.tree_map(
+                                lambda a: a[0], dq._dq_params["layers"]["w2"],
+                                is_leaf=lambda a: hasattr(a, "shape")),
+                            (jnp.ones((cfg.dim,), jnp.float32), 1e-5))
+        assert probe is not None, "quant_mlp should engage at these shapes"
+        st = dq.encode(prompt)
+        _, stats = dq.generate(st)
+    finally:
+        Q.set_matmul_backend(old)
     out = np.asarray(stats["output"])
     n = np.asarray(stats["num_committed"])
     assert n.max() >= 14
