@@ -42,7 +42,8 @@ from magicdec_tpu.ops import kv_cache as kv_ops
 from magicdec_tpu.ops.rope import (apply_rope, apply_rope_cs, rope_cos_sin,
                                    rope_inv_freq)
 from magicdec_tpu.quantization import (QuantizedWeight, is_quantized,
-                                       quant_matmul, quant_mlp)
+                                       quant_layer_tail, quant_matmul,
+                                       quant_mlp)
 
 # Layer-scan unroll factor, a perf A/B knob.  Read ONCE at import (not at
 # trace time): already-jitted programs never reflect later env changes and the
@@ -154,6 +155,24 @@ def _wo_residual(x: jnp.ndarray, out: jnp.ndarray, wl: Params,
     return x + matmul(o, w)
 
 
+def _layer_tail(x: jnp.ndarray, out: jnp.ndarray, wl: Params,
+                cfg: ModelConfig, *, mega: bool = False) -> jnp.ndarray:
+    """x + out@wo, then the FFN block with its residual.
+
+    ``mega`` (draft forwards only — see quantization.quant_layer_tail for
+    the parity rationale): attempt the ONE-call fused tail kernel; falls
+    back to the _wo_residual + _mlp(residual=) pair."""
+    if mega and is_quantized(wl.get("wo")) and wl.get("w13") is not None:
+        B, t = out.shape[:2]
+        a = out.reshape(B, t, cfg.n_head * cfg.head_dim)
+        y = quant_layer_tail(a, x, wl["wo"], wl["w13"], wl["w2"],
+                             (wl["ffn_norm"], cfg.norm_eps))
+        if y is not None:
+            return y
+    h = _wo_residual(x, out, wl, cfg)
+    return _mlp(h, wl, cfg, residual=h)
+
+
 def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
     """Single-device execution layout: wq|wk|wv -> wqkv and w1|w3 -> w13,
     concatenated along the output axis so each layer runs one QKV dot and one
@@ -195,9 +214,10 @@ def fuse_exec_params(params: Params, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 # An AttnHook maps (RAW x, layer weights, FULL stacked caches, layer idx)
-# -> (h, new stacked caches, per-layer rows to append post-scan), where h is
-# the POST-residual attention half (x + attn_out @ wo — hooks end with
-# _wo_residual so the add rides the quantized dot's epilogue).
+# -> (attn_out, new stacked caches, per-layer rows to append post-scan),
+# where attn_out is the RAW attend output [B, T, Hq, hd] (pre-wo): the scan
+# body owns the whole layer tail (_layer_tail — wo + residual + FFN +
+# residual, fused into kernel epilogues / one mega-call on the draft path).
 # Decode-path hooks leave caches untouched and return the layer's new KV as
 # ``rows`` (collected as scan ys and appended ONCE after the scan); prefill
 # hooks that must mutate caches between layers return updated caches and
@@ -208,7 +228,7 @@ AttnHook = Callable[[jnp.ndarray, Params, Caches, jnp.ndarray],
 
 
 def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches,
-                layer_attn: AttnHook):
+                layer_attn: AttnHook, *, mega_tail: bool = False):
     """Run all layers with one lax.scan.  caches: pytree of [L, ...] arrays.
 
     Caches ride in the scan *carry* (usually unmodified — passing them through
@@ -225,13 +245,13 @@ def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches
 
     def body(carry, wl):
         x, caches, l = carry
-        # hooks receive RAW x; the pre-norms live inside _qkv/_mlp so the
-        # quantized fused-exec path can sink them into the dequant-dot
-        # kernel; both residual adds are fused into kernel epilogues too
-        # (_wo_residual inside the hook, residual= below)
-        h, caches, rows = layer_attn(x, wl, caches, l)
-        out = _mlp(h, wl, cfg, residual=h)
-        return (out, caches, l + 1), rows
+        # hooks receive RAW x and return the raw attend output; the body
+        # owns the layer tail (pre-norms live inside _qkv/_mlp/_layer_tail
+        # so the quantized path can sink ALL the stranded elementwise work
+        # into the dequant-dot kernels)
+        out, caches, rows = layer_attn(x, wl, caches, l)
+        out_x = _layer_tail(x, out, wl, cfg, mega=mega_tail)
+        return (out_x, caches, l + 1), rows
 
     (x, new_caches, _), rows = jax.lax.scan(
         body, (x, caches, jnp.zeros((), jnp.int32)), params["layers"],
@@ -316,7 +336,7 @@ def _attn_project(x: jnp.ndarray, wl: Params, cfg: ModelConfig,
 def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                     caches: Caches, attn_hook_builder, *, return_logits: bool = False,
                     head: str = None, sample: Optional[Dict[str, Any]] = None,
-                    finalize=None):
+                    finalize=None, mega_tail: bool = False):
     """Shared driver: embed -> scan(layers with hook) -> finalize -> head.
 
     attn_hook_builder(cfg, inv_freq) must return an AttnHook
@@ -334,7 +354,8 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
     inv_freq = rope_inv_freq(cfg)
     x = embed_lookup(params, tokens)
     layer_attn = attn_hook_builder(cfg, inv_freq)
-    x, new_caches, rows = scan_layers(params, cfg, x, caches, layer_attn)
+    x, new_caches, rows = scan_layers(params, cfg, x, caches, layer_attn,
+                                      mega_tail=mega_tail)
     if finalize is not None:
         new_caches = finalize(new_caches, rows)
     if head == "logits":
@@ -368,7 +389,7 @@ def forward_target(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             q, k, v = _attn_project(x, wl, cfg, cs, cs)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
-            return _wo_residual(x, out, wl, cfg), caches, rows
+            return out, caches, rows
         return hook
 
     finalize = functools.partial(_target_finalize, base_lens=base_lens,
@@ -564,8 +585,7 @@ def forward_verify_snapkv(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
                                        backend=backend)
             # draft cache stays bf16 (it is budget-sized, not bandwidth-bound)
             drows = _kv_rows(k, v, caches, prefix="d")
-            return _wo_residual(x, out, wl, cfg), caches, {"t": rows,
-                                                           "d": drows}
+            return out, caches, {"t": rows, "d": drows}
         return hook
 
     def finalize(caches, rows):
@@ -628,8 +648,7 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
             Bq = q_win.shape[0]
             drows = {"dk": dk_new.reshape(Bq, budget, -1).astype(caches["dk"].dtype),
                      "dv": dv_new.reshape(Bq, budget, -1).astype(caches["dv"].dtype)}
-            return _wo_residual(x, out, wl, cfg), caches, {"t": rows,
-                                                           "d": drows}
+            return out, caches, {"t": rows, "d": drows}
         return hook
 
     def finalize(caches, rows):
@@ -684,13 +703,12 @@ def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
                 *cs_slot)  # roped at slot positions
             out = attn_ops.attend(q, k_att.reshape(B, budget, -1),
                                   dv[:, :budget], base, causal=True)
-            h = _wo_residual(x, out, wl, cfg)
             caches = {**caches,
                       "dk": jax.lax.dynamic_update_index_in_dim(
                           caches["dk"], dk.astype(caches["dk"].dtype), l, 0),
                       "dv": jax.lax.dynamic_update_index_in_dim(
                           caches["dv"], dv.astype(caches["dv"].dtype), l, 0)}
-            return h, caches, None
+            return out, caches, None
         return hook
 
     return forward_generic(params, cfg, tokens, caches, builder, head="none")
@@ -737,12 +755,14 @@ def forward_draft(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
             out = attn_ops.attend_cache(q, caches, draft_fill, layer=l,
                                         backend=backend, prefix="d",
                                         fresh=rows)
-            return _wo_residual(x, out, wl, cfg), caches, rows
+            return out, caches, rows
         return hook
 
     def finalize(caches, rows):
         return _append_rows(caches, rows, draft_fill, prefix="d",
                             backend=backend)
 
+    # mega_tail: the one-call fused wo+FFN tail is DRAFT-ONLY (see
+    # quantization.quant_layer_tail for the target-parity rationale)
     return forward_generic(params, cfg, tokens, caches, builder, sample=sample,
-                           finalize=finalize)
+                           finalize=finalize, mega_tail=True)

@@ -446,6 +446,110 @@ def _mlp_kernel(x_ref, qg_ref, sg_ref, qu_ref, su_ref, q2_ref, s2_ref, nw_ref,
         o_ref[0] = y
 
 
+def _layer_tail_kernel(a_ref, qo_ref, so_ref, x_ref, qg_ref, sg_ref, qu_ref,
+                       su_ref, q2_ref, s2_ref, nw_ref, o_ref, h_scr, hn_scr,
+                       acc_scr, *, norm_eps: float):
+    """The WHOLE post-attention layer tail in one pallas call:
+
+        h   = x + attn_out @ wo            (residual 1)
+        out = h + silu-gated-MLP(rms_norm(h))   (residual 2)
+
+    Draft-pass only (engine parity note in quantization.quant_layer_tail).
+    wo rides as a single constant-index block (DMA'd once, resident across
+    the sequential F-block grid); h/hn are computed into VMEM scratch at
+    f == 0; each grid cell accumulates one F-block of the MLP exactly like
+    _mlp_kernel.  Collapses the tail from two calls (wo, mlp) to one —
+    at decode shapes each pallas call's fixed cost rivals its weight-stream
+    time (scripts/profile_draft.py).
+    """
+    f = pl.program_id(0)
+    nf = pl.num_programs(0)
+
+    @pl.when(f == 0)
+    def _init():
+        part = jax.lax.dot_general(a_ref[0], qo_ref[:].astype(a_ref.dtype),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        part = part * so_ref[0].astype(jnp.float32)
+        h = x_ref[0] + part.astype(h_scr.dtype)
+        h_scr[:] = h
+        hf = h.astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(hf * hf, axis=-1, keepdims=True) + norm_eps)
+        hn_scr[:] = (hf * r).astype(hn_scr.dtype) * nw_ref[0]
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    hn = hn_scr[:]
+    g = jax.lax.dot_general(hn, qg_ref[:].astype(hn.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    g = g * sg_ref[0].astype(jnp.float32)
+    u = jax.lax.dot_general(hn, qu_ref[:].astype(hn.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u * su_ref[0].astype(jnp.float32)
+    gb = g.astype(o_ref.dtype).astype(jnp.float32)
+    ub = u.astype(o_ref.dtype).astype(jnp.float32)
+    gated = (gb * jax.nn.sigmoid(gb) * ub).astype(o_ref.dtype)
+    part = jax.lax.dot_general(gated, q2_ref[:].astype(gated.dtype),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    acc_scr[:] += part * s2_ref[0].astype(jnp.float32)
+
+    @pl.when(f == nf - 1)
+    def _fin():
+        o_ref[0] = acc_scr[:].astype(o_ref.dtype) + h_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "norm_eps",
+                                             "interpret"))
+def quant_layer_tail_pallas(a: jnp.ndarray, x: jnp.ndarray, qo: jnp.ndarray,
+                            so: jnp.ndarray, q13: jnp.ndarray,
+                            s13: jnp.ndarray, q2: jnp.ndarray,
+                            s2: jnp.ndarray, norm_w: jnp.ndarray, *,
+                            block_f: int, norm_eps: float,
+                            interpret: bool = False) -> jnp.ndarray:
+    """One call for the layer tail (see _layer_tail_kernel).
+
+    a [M, K] attention output; x [M, D] residual input; qo int8 [K, D] with
+    per-column scales so [1, D]; q13 int8 [D, 2F] / s13 [1, 2F];
+    q2 int8 [F, D] / s2 [1, D]; norm_w [D].  Requires F % block_f == 0.
+    """
+    M, K = a.shape
+    D = x.shape[-1]
+    F = q13.shape[-1] // 2
+    n_f = F // block_f
+    assert F % block_f == 0, (F, block_f)
+    in_specs = [
+        pl.BlockSpec((1, M, K), lambda f: (0, 0, 0)),            # a
+        pl.BlockSpec((K, D), lambda f: (0, 0)),                  # wo (whole)
+        pl.BlockSpec((1, D), lambda f: (0, 0)),                  # so
+        pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)),            # x
+        pl.BlockSpec((D, block_f), lambda f: (0, f)),            # w_gate blk
+        pl.BlockSpec((1, block_f), lambda f: (0, f)),            # s_gate
+        pl.BlockSpec((D, block_f), lambda f, n_f=n_f: (0, f + n_f)),  # w_up
+        pl.BlockSpec((1, block_f), lambda f, n_f=n_f: (0, f + n_f)),  # s_up
+        pl.BlockSpec((block_f, D), lambda f: (f, 0)),            # w2 blk
+        pl.BlockSpec((1, D), lambda f: (0, 0)),                  # s2
+        pl.BlockSpec((1, D), lambda f: (0, 0)),                  # norm_w
+    ]
+    s13f = s13.astype(jnp.float32)
+    args = [a[None], qo, so.astype(jnp.float32), x[None],
+            q13, s13f, q13, s13f, q2, s2.astype(jnp.float32),
+            norm_w.astype(x.dtype)[None]]
+    out = pl.pallas_call(
+        functools.partial(_layer_tail_kernel, norm_eps=norm_eps),
+        grid=(n_f,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, M, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, D), x.dtype),
+                        pltpu.VMEM((M, D), x.dtype),
+                        pltpu.VMEM((M, D), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[0]
+
+
 @functools.partial(jax.jit, static_argnames=("block_f", "norm_eps",
                                              "interpret"))
 def quant_mlp_pallas(x: jnp.ndarray, q13: jnp.ndarray, s13: jnp.ndarray,

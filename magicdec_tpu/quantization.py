@@ -320,6 +320,62 @@ def quant_mlp(x: jnp.ndarray, w13: QuantizedWeight, w2: QuantizedWeight,
     return y.reshape(*lead, D)
 
 
+def quant_layer_tail(a: jnp.ndarray, x: jnp.ndarray, wo: QuantizedWeight,
+                     w13: QuantizedWeight, w2: QuantizedWeight, norm):
+    """The whole post-attention layer tail — x + a@wo, then the FFN block
+    with its residual — as ONE pallas call when shapes allow, else ``None``.
+
+    DRAFT-PASS ONLY (models.llama passes allow_mega_tail just for draft
+    forwards): the F-block count is shape-derived but the target's verify
+    (M = B*(gamma+1)) and baseline (M = B) rows must share bit-identical
+    numerics for the greedy spec == AR golden contract, and this kernel's
+    VMEM budget cannot hold the M=256 worst case at production D — so the
+    target path keeps the _wo_residual + quant_mlp pair.  Draft numerics
+    only steer acceptance; verification makes committed output exact either
+    way (Engine/utils.py:201-205 has the same one-sided-quantization
+    semantics).
+    """
+    if _MATMUL_BACKEND != "pallas":
+        return None
+    if not all(is_quantized(w) for w in (wo, w13, w2)):
+        return None
+    if any(w.q.ndim != 2 or w.bits != 8 or w.scale.shape[0] != 1
+           for w in (wo, w13, w2)):
+        return None
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    K = a.shape[-1]
+    F = w13.q.shape[1] // 2
+    if wo.q.shape != (K, D) or w2.q.shape != (F, D):
+        return None
+    M = 1
+    for d in lead:
+        M *= d
+    if not (M <= 128 and D % 128 == 0 and K % 128 == 0):
+        return None
+    # VMEM budget: wo resident (K*D) + double-buffered per-cell blocks
+    # (3*D*bf) + a/x/o io (3*M*max(K,D)*2) + h/hn/acc scratch (M*D*8)
+    block_f = 0
+    for bf in (1024, 768, 512, 384, 256, 128):
+        if F % bf != 0:
+            continue
+        vmem = (K * D + 2 * 3 * D * bf + 3 * M * max(K, D) * 2
+                + M * D * 8)
+        if vmem <= 13 * 1024 * 1024:
+            block_f = bf
+            break
+    if not block_f:
+        return None
+    from magicdec_tpu.ops import pallas as PL
+    from magicdec_tpu.ops.pallas.quant_matmul import quant_layer_tail_pallas
+
+    y = quant_layer_tail_pallas(
+        a.reshape(M, K), x.reshape(M, D), wo.q, wo.scale, w13.q, w13.scale,
+        w2.q, w2.scale, norm[0], block_f=block_f, norm_eps=norm[1],
+        interpret=PL.use_interpret())
+    return y.reshape(*lead, D)
+
+
 def quantize_embed(embed: jnp.ndarray, bits: int = 8) -> QuantizedWeight:
     """Quantize the embedding table, stored TRANSPOSED as [D, V] with
     per-vocab-column scales — one format serves both consumers:

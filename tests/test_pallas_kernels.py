@@ -204,6 +204,48 @@ class TestQuantMatmulKernel:
         np.testing.assert_allclose(np.asarray(out2), np.asarray(ref - res),
                                    atol=2e-3, rtol=2e-3)
 
+    def test_quant_layer_tail_matches_pair(self):
+        """quant_layer_tail_pallas (wo + residual + FFN + residual in ONE
+        call) == the _wo_residual + quant_mlp composition."""
+        import jax
+
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops.pallas.quant_matmul import quant_layer_tail_pallas
+
+        rng = np.random.RandomState(31)
+        K, D, F, M = 128, 256, 512, 8
+        a = jnp.asarray(rng.randn(M, K).astype(np.float32))
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        nw = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        wo = Q.quantize_weight(jnp.asarray(rng.randn(K, D), jnp.float32),
+                               bits=8)
+        w13 = Q.quantize_weight(jnp.asarray(rng.randn(D, 2 * F), jnp.float32),
+                                bits=8)
+        w2 = Q.quantize_weight(jnp.asarray(rng.randn(F, D), jnp.float32),
+                               bits=8)
+        h = x + Q.quant_matmul(a, wo)
+        gu = Q.quant_matmul(Q._rms_norm(h, nw, 1e-5), w13)
+        gated = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+        ref = h + Q.quant_matmul(gated, w2)
+        out = quant_layer_tail_pallas(a, x, wo.q, wo.scale, w13.q, w13.scale,
+                                      w2.q, w2.scale, nw, block_f=128,
+                                      norm_eps=1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-3, rtol=3e-3)
+        # dispatcher engages at these shapes (pallas backend) and bails on
+        # a dense wo
+        old = Q._MATMUL_BACKEND
+        Q.set_matmul_backend("pallas")
+        try:
+            y = Q.quant_layer_tail(a, x, wo, w13, w2, (nw, 1e-5))
+            assert y is not None
+            np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                       atol=3e-3, rtol=3e-3)
+            assert Q.quant_layer_tail(a, x, jnp.zeros((K, D)), w13, w2,
+                                      (nw, 1e-5)) is None
+        finally:
+            Q.set_matmul_backend(old)
+
     def test_quant_mlp_dispatcher_end_to_end(self):
         """Q.quant_mlp through the pallas backend (interpret) == the jnp
         two-call composition; bails (None) on group-wise / int4 weights."""
