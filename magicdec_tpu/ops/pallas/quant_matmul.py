@@ -446,6 +446,108 @@ def _mlp_kernel(x_ref, qg_ref, sg_ref, qu_ref, su_ref, q2_ref, s2_ref, nw_ref,
         o_ref[0] = y
 
 
+def _dense_fused_kernel(x_ref, w_ref, *rest, norm: bool, norm_eps: float,
+                        residual: bool):
+    """bf16 weight-streaming dot with the fused norm/residual epilogue ladder.
+
+    The DENSE (bf16-verify-weight) target path today runs XLA dots with
+    stranded norm/residual dispatches between them; on-chip profiling
+    (COVERAGE.md round-4 close-out) measured its 1-token no-KV forward at
+    6.33 ms vs a ~3.0 ms weight-stream floor + 0.70 ms head.  This kernel is
+    the quant fusion ladder at bits=16: weights stream as bf16 blocks, f32
+    accumulator, optional rms-norm prologue (VMEM scratch, computed once)
+    and residual epilogue.  Blocking depends only on (In, Out) — M-invariant
+    so verify (M=B*(gamma+1)) and baseline (M=B) rows stay bit-identical,
+    the golden-contract requirement for ANY kernel on the target path.
+
+    refs: x [1,M,bi], w [bi,bo], [norm_w [1,bi]], [res [1,M,bo]], o, acc,
+    [xn scratch when norm].
+    """
+    idx = 0
+    nw_ref = None
+    if norm:
+        nw_ref = rest[idx]; idx += 1
+    res_ref = None
+    if residual:
+        res_ref = rest[idx]; idx += 1
+    o_ref = rest[idx]; idx += 1
+    acc_scr = rest[idx]; idx += 1
+    xn_scr = rest[idx] if norm else None
+
+    j = pl.program_id(1)
+    nblocks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    if norm:
+        @pl.when((pl.program_id(0) == 0) & (j == 0))
+        def _norm():
+            xf = x_ref[0].astype(jnp.float32)
+            r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                              + norm_eps)
+            xn_scr[:] = (xf * r).astype(xn_scr.dtype) * nw_ref[0]
+        x = xn_scr[:]
+    else:
+        x = x_ref[0]
+    acc_scr[:] += jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(j == nblocks - 1)
+    def _fin():
+        y = acc_scr[:].astype(o_ref.dtype)
+        if residual:
+            y = y + res_ref[0]
+        o_ref[0] = y
+
+
+@functools.partial(jax.jit, static_argnames=("block_in", "block_out", "norm",
+                                             "norm_eps", "interpret"))
+def dense_matmul_fused_pallas(x: jnp.ndarray, w: jnp.ndarray, norm_w=None,
+                              res=None, *, block_in: int = 2048,
+                              block_out: int = 512, norm: bool = False,
+                              norm_eps: float = 1e-5,
+                              interpret: bool = False) -> jnp.ndarray:
+    """[res +] rms_norm?(x) @ w for DENSE weights (see _dense_fused_kernel).
+
+    norm requires one in-block spanning the contraction (the row statistic).
+    """
+    M, In = x.shape
+    Out = w.shape[-1]
+    block_in = min(block_in, In)
+    if In % block_in != 0 or norm:
+        block_in = In
+    block_out = min(block_out, Out)
+    assert Out % block_out == 0, (Out, block_out)
+    n_in, n_out = In // block_in, Out // block_out
+
+    in_specs = [pl.BlockSpec((1, M, block_in), lambda o, j: (0, 0, j)),
+                pl.BlockSpec((block_in, block_out), lambda o, j: (j, o))]
+    args = [x[None], w]
+    if norm:
+        in_specs.append(pl.BlockSpec((1, block_in), lambda o, j: (0, j)))
+        args.append(norm_w.astype(x.dtype)[None])
+    if res is not None:
+        in_specs.append(pl.BlockSpec((1, M, block_out),
+                                     lambda o, j: (0, 0, o)))
+        args.append(res[None])
+    scratch = [pltpu.VMEM((M, block_out), jnp.float32)]
+    if norm:
+        scratch.append(pltpu.VMEM((M, block_in), x.dtype))
+    out = pl.pallas_call(
+        functools.partial(_dense_fused_kernel, norm=norm, norm_eps=norm_eps,
+                          residual=res is not None),
+        grid=(n_out, n_in),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, M, block_out), lambda o, j: (0, 0, o)),
+        out_shape=jax.ShapeDtypeStruct((1, M, Out), x.dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    return out[0]
+
+
 def _layer_tail_kernel(a_ref, qo_ref, so_ref, x_ref, qg_ref, sg_ref, qu_ref,
                        su_ref, q2_ref, s2_ref, nw_ref, o_ref, h_scr, hn_scr,
                        acc_scr, *, norm_eps: float):

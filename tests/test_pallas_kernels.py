@@ -204,6 +204,30 @@ class TestQuantMatmulKernel:
         np.testing.assert_allclose(np.asarray(out2), np.asarray(ref - res),
                                    atol=2e-3, rtol=2e-3)
 
+    def test_dense_fused_matmul_matches_jnp(self):
+        """dense_matmul_fused_pallas (bf16 weight streaming + fused norm /
+        residual — the round-5 dense-target lever, unwired) == jnp chain."""
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops.pallas.quant_matmul import dense_matmul_fused_pallas
+
+        rng = np.random.RandomState(41)
+        In, Out, M = 128, 128, 8
+        x = jnp.asarray(rng.randn(M, In).astype(np.float32))
+        w = jnp.asarray(rng.randn(In, Out).astype(np.float32))
+        nw = jnp.asarray(rng.rand(In).astype(np.float32) + 0.5)
+        res = jnp.asarray(rng.randn(M, Out).astype(np.float32))
+        ref = res + Q._rms_norm(x, nw, 1e-5) @ w
+        out = dense_matmul_fused_pallas(x, w, nw, res, block_out=64,
+                                        norm=True, norm_eps=1e-5,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+        # plain (no norm/residual) multi-in-block path
+        out2 = dense_matmul_fused_pallas(x, w, block_in=64, block_out=64,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(x @ w),
+                                   atol=2e-3, rtol=2e-3)
+
     def test_quant_layer_tail_matches_pair(self):
         """quant_layer_tail_pallas (wo + residual + FFN + residual in ONE
         call) == the _wo_residual + quant_mlp composition."""
