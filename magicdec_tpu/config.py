@@ -45,6 +45,16 @@ class ModelConfig:
     original_max_position_embeddings: Optional[int] = None
     qkv_bias: bool = False
     tie_word_embeddings: bool = False
+    # Execution hint, NOT an architecture fact: engines set this (via
+    # dataclasses.replace) on the cfg they pass to DECODE/VERIFY target
+    # forwards, to the max row count any pass of that program family sees
+    # (B * (gamma + 1)).  Row-resident Pallas matmul kernels route on this
+    # instead of the live M so the baseline pass (M = B) and the verify pass
+    # (M = B * (gamma + 1)) take the SAME kernel with the SAME blocking —
+    # the per-row bit-identity the greedy spec == AR golden contract needs
+    # (ADVICE r4: an M-based gate silently split the two paths).  0 (the
+    # default, and always on prefill paths) keeps live-M routing.
+    decode_rows: int = 0
 
     def __post_init__(self):
         if self.n_kv_head == -1:

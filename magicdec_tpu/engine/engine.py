@@ -157,6 +157,16 @@ class SpecEngine:
             # one QKV dot + one gate/up dot per layer (separate tensors exist
             # for GSPMD head sharding, which meshless engines don't need)
             params = M.fuse_exec_params(params, cfg)
+        if mesh is not None:
+            # non-divisible kv-head counts pad to the mesh (zero heads whose
+            # contribution is exactly +0.0 — single-device outputs preserved
+            # bit-for-bit; reference behavior: Engine/tp.py:36-52 uneven
+            # round-robin split).  Before draft_quant: quantizing the padded
+            # zeros is well-defined for every scheme, padding a group-wise
+            # quantized weight is not.
+            from magicdec_tpu.parallel import sharding as S
+            params, cfg = S.pad_heads_for_tp(params, cfg, mesh,
+                                             S.model_axes_of(mesh))
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -297,6 +307,22 @@ class SpecEngine:
             c["table"] = st.table
         return c
 
+    def _hinted(self, B: int) -> ModelConfig:
+        """TARGET cfg with the decode-rows execution hint (ModelConfig
+        .decode_rows = B * (gamma + 1), the max rows any decode/verify/
+        baseline pass sees): row-resident Pallas matmul kernels route on
+        this instead of the live M, so the baseline pass (M = B) and the
+        verify pass (M = B * (gamma + 1)) take identical kernels per row —
+        the greedy spec == AR golden contract (ADVICE r4).  Draft passes
+        keep the unhinted cfg (live-M routing; draft numerics only steer
+        acceptance).  Meshless only: under a mesh the pallas kernels are
+        opaque custom calls GSPMD cannot partition, so mesh engines keep
+        jnp dots everywhere."""
+        if self.mesh is not None:
+            return self.cfg
+        return dataclasses.replace(self.cfg,
+                                   decode_rows=B * (self.ecfg.gamma + 1))
+
     # ------------------------------------------------------------------
     # sampling (Gumbel-coupled; EngineConfig.temperature > 0)
     # ------------------------------------------------------------------
@@ -327,13 +353,14 @@ class SpecEngine:
     def _head_token(self, params, x_last, rng, salt):
         """Prefill's first generated token from the last hidden state [B, D]:
         greedy argmax, or the stream-slot-0 coupled-Gumbel sample."""
-        if self.ecfg.temperature <= 0:
-            return M.head_argmax(params, self.cfg, x_last[:, None])[:, 0]
         B = x_last.shape[0]
+        cfg = self._hinted(B)  # token0 must match the verify/baseline heads
+        if self.ecfg.temperature <= 0:
+            return M.head_argmax(params, cfg, x_last[:, None])[:, 0]
         spec = {"key": rng, "salt": salt,
                 "idx": jnp.zeros((B, 1), jnp.int32),
                 "temperature": self.ecfg.temperature, "top_p": self.ecfg.top_p}
-        return M.head_sample(params, self.cfg, x_last[:, None], spec)[:, 0]
+        return M.head_sample(params, cfg, x_last[:, None], spec)[:, 0]
 
     # ------------------------------------------------------------------
     # prefill (encode)
@@ -717,7 +744,8 @@ class SpecEngine:
 
         Drafts at *real* rope positions; verify dual-appends the target's KV
         into the draft cache, overwriting the speculated slots."""
-        e, cfg = self.ecfg, self.cfg
+        e = self.ecfg
+        cfg = self._hinted(st.token0.shape[0])
         dparams = params if dparams is None else dparams
         dcfg = self._draft_cfg()
         f0 = st.draft_fill
@@ -769,7 +797,8 @@ class SpecEngine:
         Draft rope positions are draft_fill + delta, where delta = draft_pos -
         draft_fill stays constant across windows (0 for slot-position caches,
         prefix - budget for SnapKV-compressed real-position caches)."""
-        e, cfg = self.ecfg, self.cfg
+        e = self.ecfg
+        cfg = self._hinted(st.token0.shape[0])
         dparams = params if dparams is None else dparams
         dcfg = self._draft_cfg()
         f0 = st.draft_fill
@@ -862,11 +891,25 @@ class SpecEngine:
         return self._baseline_tail_fn(B)(self.params, rng, salt, *state)
 
     @functools.lru_cache(maxsize=16)
-    def _baseline_part_fn(self, B: int, T: int):
-        e, cfg = self.ecfg, self.cfg
+    def _baseline_part_fn(self, B: int, T: int, which: str = "target",
+                          quant: Optional[bool] = None):
+        """One bounded chunked-prefill device call over T tokens, cache state
+        donated: (params, toks, k, v, [ks, vs,] lens, x_last) -> same state.
+
+        The building block of EVERY split prefill (baseline, snapkv
+        self-spec pre-window, longspec target AND full/snapkv draft —
+        ``which`` = "draft" selects the draft cfg/backend; ``quant``
+        overrides the cache-quantization flag, e.g. the longspec draft cache
+        is always dense).  T may be ragged: full Cp chunks then one
+        remainder forward — the same chunk boundaries the monolithic encode
+        produces, so split == monolithic stays bit-exact."""
+        e = self.ecfg
+        cfg = self.cfg if which == "target" else self._draft_cfg()
+        backend = self._backend_t if which == "target" else self._backend_d
         C = e.prefill_chunk_size or e.chunk_size
-        assert T % C == 0
-        quant = bool(e.kv_quant)
+        if quant is None:
+            quant = bool(e.kv_quant)
+        n_full, rem = divmod(T, C)
 
         def part(params, toks, *state):
             if quant:
@@ -875,20 +918,29 @@ class SpecEngine:
             else:
                 k, v, lens, x_last = state
                 caches = {"k": k, "v": v}
-            xs = jnp.moveaxis(toks.reshape(B, T // C, C), 1, 0)
+            if n_full:
+                xs = jnp.moveaxis(
+                    toks[:, :n_full * C].reshape(B, n_full, C), 1, 0)
 
-            def body(carry, chunk):
-                caches, lens = carry
-                x, caches = M.forward_target(params, cfg, chunk, lens, caches,
-                                             head="none",
-                                             backend=self._backend_t)
-                return (caches, lens + C), x[:, -1]
+                def body(carry, chunk):
+                    caches, lens = carry
+                    x, caches = M.forward_target(params, cfg, chunk, lens,
+                                                 caches, head="none",
+                                                 backend=backend)
+                    return (caches, lens + C), x[:, -1]
 
-            (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
+                (caches, lens), last_h = jax.lax.scan(body, (caches, lens), xs)
+                x_last = last_h[-1]
+            if rem:
+                x, caches = M.forward_target(params, cfg, toks[:, n_full * C:],
+                                             lens, caches, head="none",
+                                             backend=backend)
+                lens = lens + rem
+                x_last = x[:, -1]
             out = [caches["k"], caches["v"]]
             if quant:
                 out += [caches["ks"], caches["vs"]]
-            return tuple(out + [lens, last_h[-1]])
+            return tuple(out + [lens, x_last])
 
         n_cache = 4 if quant else 2
         return jax.jit(part, donate_argnums=tuple(range(2, 2 + n_cache)))
@@ -963,7 +1015,9 @@ class SpecEngine:
 
     @functools.lru_cache(maxsize=8)
     def _generate_baseline_fn(self, B: int, max_new: int):
-        cfg = self.cfg
+        # hinted like the spec windows: baseline steps (M = B) must take the
+        # same target kernels as verify (M = B * (gamma + 1)) — see _hinted
+        cfg = self._hinted(B)
 
         def gen(params, st: BaselineState) -> BaselineState:
             def body(carry, _):
@@ -1013,6 +1067,12 @@ class LongSpecEngine(SpecEngine):
                  draft_cfg: ModelConfig, ecfg: EngineConfig, mesh=None):
         if mesh is None and ecfg.fuse_exec:
             draft_params = M.fuse_exec_params(draft_params, draft_cfg)
+        if mesh is not None:
+            # standalone draft pads to ITS model axes (the inner sub-mesh
+            # under a 3-axis mesh) — see SpecEngine.__init__ / pad_heads_for_tp
+            from magicdec_tpu.parallel import sharding as S
+            draft_params, draft_cfg = S.pad_heads_for_tp(
+                draft_params, draft_cfg, mesh, S.draft_axes_of(mesh))
         self._dq_longspec_pending = False
         if ecfg.draft_quant:
             from magicdec_tpu import quantization as Q

@@ -112,7 +112,7 @@ def time_phases(engine, state, iters: int = 20) -> Dict[str, float]:
 
 def _time_phases_impl(engine, B, lens_np, dfill_np, dpos_np, tshapes, dshapes,
                       iters) -> Dict[str, float]:
-    cfg = engine.cfg
+    cfg = engine._hinted(B)  # same kernel routing as the production loop
     e = engine.ecfg
     dparams, dcfg = engine._draft_model(engine.params)
 

@@ -41,7 +41,8 @@ from magicdec_tpu.ops import attention as attn_ops
 from magicdec_tpu.ops import kv_cache as kv_ops
 from magicdec_tpu.ops.rope import (apply_rope, apply_rope_cs, rope_cos_sin,
                                    rope_inv_freq)
-from magicdec_tpu.quantization import (QuantizedWeight, is_quantized,
+from magicdec_tpu.quantization import (QuantizedWeight, dense_matmul,
+                                       dense_mlp, is_quantized,
                                        quant_layer_tail, quant_matmul,
                                        quant_mlp)
 
@@ -79,23 +80,33 @@ def _mlp(x: jnp.ndarray, wl: Params, cfg: ModelConfig,
     opaque custom calls are pure fixed cost (~0.7 ms/16-layer draft scan).
     When both w13 and w2 are int8 per-channel, the WHOLE block (norm, gate|up
     dot, SiLU, down dot, residual add) is ONE pallas call
-    (quantization.quant_mlp); ``residual`` otherwise adds outside."""
+    (quantization.quant_mlp) — and its DENSE twin (quantization.dense_mlp)
+    does the same for bf16 target weights on decode/verify passes
+    (cfg.decode_rows > 0; the round-5 dense-path lever — see config.py for
+    the M-invariant routing contract); ``residual`` otherwise adds outside."""
     w13 = wl.get("w13")
+    hint = cfg.decode_rows
+    norm = (wl["ffn_norm"], cfg.norm_eps)
     if w13 is not None and is_quantized(w13):
-        norm = (wl["ffn_norm"], cfg.norm_eps)
-        y = quant_mlp(x, w13, wl["w2"], norm, residual=residual)
+        y = quant_mlp(x, w13, wl["w2"], norm, residual=residual,
+                      rows_hint=hint)
         if y is not None:
             return y
-        gated = quant_matmul(x, w13, norm=norm, gate=True)
-        y = matmul(gated, wl["w2"])
-        return y if residual is None else residual + y
-    x = rms_norm(x, wl["ffn_norm"], cfg.norm_eps)
+        gated = quant_matmul(x, w13, norm=norm, gate=True, rows_hint=hint)
+        return quant_matmul(gated, wl["w2"], residual=residual,
+                            rows_hint=hint)
     if w13 is not None:  # fused gate|up dot (fuse_exec_params)
-        gu = matmul(x, w13)
+        y = dense_mlp(x, w13, wl["w2"], norm, residual=residual,
+                      rows_hint=hint)
+        if y is not None:
+            return y
+        gu = dense_matmul(x, w13, norm=norm, rows_hint=hint)
         F = gu.shape[-1] // 2
         gate, up = gu[..., :F], gu[..., F:]
-    else:
-        gate, up = matmul(x, wl["w1"]), matmul(x, wl["w3"])
+        return dense_matmul(jax.nn.silu(gate) * up, wl["w2"],
+                            residual=residual, rows_hint=hint)
+    x = rms_norm(x, *norm)
+    gate, up = matmul(x, wl["w1"]), matmul(x, wl["w3"])
     y = matmul(jax.nn.silu(gate) * up, wl["w2"])
     return y if residual is None else residual + y
 
@@ -117,9 +128,14 @@ def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
     nq = cfg.n_head * hd
     nkv = cfg.n_kv_head * hd
     norm = (wl["attn_norm"], cfg.norm_eps)
+    hint = cfg.decode_rows
     if wl.get("wqkv") is not None:
         if is_quantized(wl["wqkv"]) and wl.get("bqkv") is None:
-            qkv = quant_matmul(x, wl["wqkv"], norm=norm)
+            qkv = quant_matmul(x, wl["wqkv"], norm=norm, rows_hint=hint)
+        elif not is_quantized(wl["wqkv"]):
+            qkv = dense_matmul(x, wl["wqkv"], norm=norm, rows_hint=hint)
+            if wl.get("bqkv") is not None:
+                qkv = qkv + wl["bqkv"]
         else:
             qkv = matmul(rms_norm(x, *norm), wl["wqkv"])
             if wl.get("bqkv") is not None:
@@ -151,8 +167,8 @@ def _wo_residual(x: jnp.ndarray, out: jnp.ndarray, wl: Params,
     o = out.reshape(B, t, cfg.n_head * cfg.head_dim)
     w = wl["wo"]
     if is_quantized(w):
-        return quant_matmul(o, w, residual=x)
-    return x + matmul(o, w)
+        return quant_matmul(o, w, residual=x, rows_hint=cfg.decode_rows)
+    return dense_matmul(o, w, residual=x, rows_hint=cfg.decode_rows)
 
 
 def _layer_tail(x: jnp.ndarray, out: jnp.ndarray, wl: Params,
@@ -262,16 +278,25 @@ def scan_layers(params: Params, cfg: ModelConfig, x: jnp.ndarray, caches: Caches
 def head_argmax(params: Params, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Final norm + lm head + greedy argmax -> int32 [B, T]."""
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = head_logits(params, x)
+    logits = head_logits(params, x, rows_hint=cfg.decode_rows)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
-def head_logits(params: Params, x_normed: jnp.ndarray) -> jnp.ndarray:
+def head_logits(params: Params, x_normed: jnp.ndarray,
+                rows_hint: int = 0) -> jnp.ndarray:
+    """rows_hint: ModelConfig.decode_rows on target decode/verify passes —
+    a QUANTIZED head's kernel routing must be M-invariant like every other
+    target dot (verify M=B*(gamma+1) vs baseline M=B, see config.py); the
+    dense head keeps the XLA dot (already row-invariant, and at [M, D] x
+    [D, V] the dot is weight-bandwidth-bound with nothing to fuse)."""
     if params.get("lm_head") is not None:
-        return matmul(x_normed, params["lm_head"])
+        w = params["lm_head"]
+        if is_quantized(w):
+            return quant_matmul(x_normed, w, rows_hint=rows_hint)
+        return x_normed @ w
     embed = params["embed"]
     if is_quantized(embed):  # stored [D, V] (quantization.quantize_embed)
-        return quant_matmul(x_normed, embed)
+        return quant_matmul(x_normed, embed, rows_hint=rows_hint)
     return x_normed @ embed.T  # tied embeddings (llama-3.2-1b)
 
 
@@ -306,7 +331,7 @@ def head_sample(params: Params, cfg: ModelConfig, x: jnp.ndarray,
     from magicdec_tpu.ops import sampling as S
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = head_logits(params, x)
+    logits = head_logits(params, x, rows_hint=cfg.decode_rows)
     return S.gumbel_sample_tokens(logits, sample["key"], sample["salt"],
                                   sample["idx"],
                                   temperature=sample["temperature"],
@@ -360,7 +385,7 @@ def forward_generic(params: Params, cfg: ModelConfig, tokens: jnp.ndarray,
         new_caches = finalize(new_caches, rows)
     if head == "logits":
         x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-        return head_logits(params, x), new_caches
+        return head_logits(params, x, rows_hint=cfg.decode_rows), new_caches
     if head == "none":
         return x, new_caches
     if sample is not None:

@@ -548,6 +548,98 @@ def dense_matmul_fused_pallas(x: jnp.ndarray, w: jnp.ndarray, norm_w=None,
     return out[0]
 
 
+def _dense_mlp_kernel(x_ref, wg_ref, wu_ref, w2_ref, nw_ref, *rest,
+                      norm_eps: float, residual: bool):
+    """_mlp_kernel at bits=16: the whole DENSE FFN block — rms_norm ->
+    silu(x@w_gate) * (x@w_up) @ w2 [+ res] — as one sequential F-block grid.
+
+    The dense (bf16-verify-weight) target path otherwise runs XLA dots with
+    the norm / SiLU / residual stranded between them — measured ~2.6 ms of
+    dense-path overhead per 1-token target forward (COVERAGE.md round-4
+    close-out).  Weight blocks stream as bf16; per-F-block partial products
+    accumulate in f32 (contraction-commutative, so per-row numerics are
+    M-invariant — the verify M=B*(gamma+1) vs baseline M=B golden contract).
+
+    refs: x [1,M,D], w_gate blk [D,bf], w_up blk [D,bf], w2 blk [bf,D],
+    norm_w [1,D], [res [1,M,D]], o [1,M,D]; scratch: hn [M,D], acc [M,D] f32.
+    """
+    if residual:
+        res_ref, o_ref, hn_scr, acc_scr = rest
+    else:
+        o_ref, hn_scr, acc_scr = rest
+
+    f = pl.program_id(0)
+    nf = pl.num_programs(0)
+
+    @pl.when(f == 0)
+    def _init():
+        xf = x_ref[0].astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + norm_eps)
+        hn_scr[:] = (xf * r).astype(hn_scr.dtype) * nw_ref[0]
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    hn = hn_scr[:]
+    g = jax.lax.dot_general(hn, wg_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = jax.lax.dot_general(hn, wu_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    # round to the model dtype first (matching the XLA path's bf16 dot
+    # outputs), then gate in f32: Mosaic on v5e cannot lower logistic on
+    # bf16 vectors (CLAUDE.md legalization map)
+    gb = g.astype(o_ref.dtype).astype(jnp.float32)
+    ub = u.astype(o_ref.dtype).astype(jnp.float32)
+    gated = (gb * jax.nn.sigmoid(gb) * ub).astype(o_ref.dtype)
+    acc_scr[:] += jax.lax.dot_general(gated, w2_ref[:], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(f == nf - 1)
+    def _fin():
+        y = acc_scr[:].astype(o_ref.dtype)
+        if residual:
+            y = y + res_ref[0]
+        o_ref[0] = y
+
+
+@functools.partial(jax.jit, static_argnames=("block_f", "norm_eps",
+                                             "interpret"))
+def dense_mlp_pallas(x: jnp.ndarray, w13: jnp.ndarray, w2: jnp.ndarray,
+                     norm_w: jnp.ndarray, res=None, *, block_f: int,
+                     norm_eps: float, interpret: bool = False) -> jnp.ndarray:
+    """res + rms_norm(x) |> silu-gated DENSE MLP, one pallas call
+    (see _dense_mlp_kernel).
+
+    x [M, D]; w13 bf16 [D, 2F] (gate cols [:F], up cols [F:]); w2 [F, D];
+    norm_w [D]; res optional [M, D].  Requires F % block_f == 0.
+    """
+    M, D = x.shape
+    F = w13.shape[-1] // 2
+    n_f = F // block_f
+    assert F % block_f == 0, (F, block_f)
+    in_specs = [
+        pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)),            # x
+        pl.BlockSpec((D, block_f), lambda f: (0, f)),            # w_gate blk
+        pl.BlockSpec((D, block_f), lambda f, n_f=n_f: (0, f + n_f)),  # w_up
+        pl.BlockSpec((block_f, D), lambda f: (f, 0)),            # w2 blk
+        pl.BlockSpec((1, D), lambda f: (0, 0)),                  # norm_w
+    ]
+    args = [x[None], w13, w13, w2, norm_w.astype(x.dtype)[None]]
+    if res is not None:
+        in_specs.append(pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)))
+        args.append(res[None])
+    out = pl.pallas_call(
+        functools.partial(_dense_mlp_kernel, norm_eps=norm_eps,
+                          residual=res is not None),
+        grid=(n_f,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, M, D), lambda f: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, M, D), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, D), x.dtype),
+                        pltpu.VMEM((M, D), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return out[0]
+
+
 def _layer_tail_kernel(a_ref, qo_ref, so_ref, x_ref, qg_ref, sg_ref, qu_ref,
                        su_ref, q2_ref, s2_ref, nw_ref, o_ref, h_scr, hn_scr,
                        acc_scr, *, norm_eps: float):

@@ -13,9 +13,10 @@ Axes:
   model — head-sharded attention (wq/wk/wv columns, wo rows, KV-cache head
           axis), column/row-sharded MLP, vocab-sharded lm_head.
 
-GQA note: n_kv_head must be divisible by the model-axis size; pad kv heads to
-the mesh (SURVEY.md §7) rather than the reference's uneven-head split
-(tp.py:36-52).
+GQA note: a non-divisible n_kv_head is padded to the mesh by the engines
+(``pad_heads_for_tp`` — zero heads contributing exactly +0.0, SURVEY.md §7)
+rather than the reference's uneven-head round-robin split (tp.py:36-52);
+``validate_mesh`` itself stays strict (it runs after padding).
 """
 
 from __future__ import annotations
@@ -255,6 +256,86 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh, axes=None):
                         is_leaf=lambda x: x is None)
 
 
+def pad_heads_for_tp(params, cfg: ModelConfig, mesh: Mesh, axes=None):
+    """Pad kv heads (and their q-head groups) to model-axis divisibility.
+
+    The reference handles a non-divisible kv-head count by round-robining
+    uneven head sets across ranks (Engine/tp.py:36-52 _select_kv_heads); a
+    GSPMD mesh wants EQUAL shards, so this implements the SURVEY.md §7
+    alternative instead: append zero kv heads (k = v = 0 -> their attention
+    output is exactly 0: uniform softmax over zero logits times zero values)
+    and the matching zero q-head groups / zero wo rows, so padded heads
+    contribute exactly +0.0 to every real output row — single-device outputs
+    are reproduced bit-for-bit (tests/test_sharding.py).  GQA q-head groups
+    stay contiguous per kv head (ops.attention reshapes q to
+    [B, T, Hkv, G, hd]), so end-padding preserves the real heads' grouping.
+
+    Returns (params, cfg) unchanged when already divisible.  Cost: the KV
+    cache allocates the padded head count — e.g. 2 kv heads on a 4-way model
+    axis doubles cache bytes; prefer a divisible mesh when you can.
+
+    Quantized leaves: dense + int8 per-output-channel (G == 1) only — int4
+    packing and group-wise scales do not pad along the contraction cleanly;
+    quantize AFTER padding instead (engines pad before quantize_params).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from magicdec_tpu.quantization import QuantizedWeight, is_quantized
+
+    axes = axes or model_axes_of(mesh)
+    model = 1
+    for a in axes:
+        model *= mesh.shape[a]
+    if cfg.n_kv_head % model == 0:
+        return params, cfg
+    hkv2 = -(-cfg.n_kv_head // model) * model
+    g = cfg.gqa_groups
+    hq2 = hkv2 * g
+    hd = cfg.head_dim
+
+    def pad_axis(w, axis, new):
+        if w is None:
+            return None
+        if is_quantized(w):
+            if w.bits != 8 or w.scale.shape[-2] != 1:
+                raise NotImplementedError(
+                    "pad_heads_for_tp supports dense and int8 per-channel "
+                    "weights; quantize after padding for int4/group-wise")
+            ndim = w.q.ndim
+            ax = axis if axis >= 0 else ndim + axis
+            qpad = [(0, 0)] * ndim
+            qpad[ax] = (0, new - w.q.shape[ax])
+            spad = [(0, 0)] * w.scale.ndim
+            if ax == ndim - 1:  # output axis: scale columns pad too
+                spad[-1] = (0, new - w.scale.shape[-1])
+            return QuantizedWeight(q=jnp.pad(w.q, qpad),
+                                   scale=jnp.pad(w.scale, spad),
+                                   bits=w.bits, group_size=w.group_size)
+        ndim = w.ndim
+        ax = axis if axis >= 0 else ndim + axis
+        pad = [(0, 0)] * ndim
+        pad[ax] = (0, new - w.shape[ax])
+        return jnp.pad(w, pad)
+
+    L = dict(params["layers"])
+    assert L.get("wqkv") is None and L.get("w13") is None, \
+        "pad before fuse_exec_params (mesh engines never fuse)"
+    L["wq"] = pad_axis(L["wq"], -1, hq2 * hd)
+    L["wk"] = pad_axis(L["wk"], -1, hkv2 * hd)
+    L["wv"] = pad_axis(L["wv"], -1, hkv2 * hd)
+    L["wo"] = pad_axis(L["wo"], -2, hq2 * hd)
+    for b, n in (("bq", hq2), ("bk", hkv2), ("bv", hkv2)):
+        if L.get(b) is not None:
+            L[b] = pad_axis(L[b], -1, n * hd)
+    new_cfg = dataclasses.replace(cfg, n_head=hq2, n_kv_head=hkv2)
+    # __post_init__ recomputes head_dim = dim // n_head, which is wrong for a
+    # padded head count (dim is an architecture fact, padding is not)
+    object.__setattr__(new_cfg, "head_dim", hd)
+    return dict(params, layers=L), new_cfg
+
+
 def validate_mesh(cfg: ModelConfig, mesh: Mesh, axes=None) -> None:
     axes = axes or model_axes_of(mesh)
     model = 1
@@ -263,6 +344,7 @@ def validate_mesh(cfg: ModelConfig, mesh: Mesh, axes=None) -> None:
     if cfg.n_kv_head % model != 0:
         raise ValueError(
             f"n_kv_head={cfg.n_kv_head} not divisible by model axis {model}; "
-            "pad kv heads to the mesh (SURVEY.md §7)")
+            "engines pad automatically (pad_heads_for_tp) — direct callers "
+            "should pad first")
     if cfg.vocab_size % model != 0:
         raise ValueError("vocab not divisible by model axis")

@@ -124,8 +124,41 @@ def _rms_norm(x, w, eps):
     return n.astype(x.dtype) * w
 
 
+def _in_block_cap(In: int) -> int:
+    for cand in (2048, 1024, 512):
+        if In % cand == 0:
+            return cand
+    return In
+
+
+def _pick_block_out(F: int, rows: int, block_in: int, In: int,
+                    w_bytes_per_out: float, norm: bool) -> int:
+    """Widest output block whose per-call VMEM stays under budget, or 0.
+
+    Budget accounts for BOTH the (double-buffered) streamed weight block and
+    the M-dependent row-resident arrays (x block, f32 accumulator, output
+    block, norm scratch), sized at ``rows`` — the routing row count, not the
+    live M — so a baseline (M = B) and a verify (M = B * (gamma + 1)) pass
+    pick the SAME blocking (ADVICE r4: an M-blind budget admitted shapes that
+    AOT-reject at 16 MiB scoped VMEM)."""
+    fixed = rows * (2 * block_in * 2)          # x block, double-buffered bf16
+    if norm:
+        fixed += rows * In * 2                 # normalized-rows VMEM scratch
+    budget = 12 * 1024 * 1024
+    for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384, 256):
+        if F % bo:
+            continue
+        if bo * w_bytes_per_out > 2 * 1024 * 1024 and bo > 256:
+            continue  # streamed weight blocks ~<= 2 MiB (measured-good cap)
+        vmem = fixed + 2 * bo * w_bytes_per_out + rows * bo * 6
+        if vmem <= budget:
+            return bo
+    return 0
+
+
 def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
-                 gate: bool = False, residual=None) -> jnp.ndarray:
+                 gate: bool = False, residual=None,
+                 rows_hint: int = 0) -> jnp.ndarray:
     """x [..., in] @ dequant(wq) — jnp reference path (cast fused by XLA).
 
     Matches the reference forward ``F.linear(x, w.to(x.dtype)) * scales``
@@ -139,8 +172,16 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
     ``residual``: optional [..., Out] array ADDED to the output (fused into
     the kernel's finish epilogue on the pallas path — the layer's residual
     add is otherwise a stranded elementwise dispatch at decode shapes).
+    ``rows_hint``: > 0 on TARGET decode/verify paths (ModelConfig.decode_rows
+    — see config.py): kernel routing and blocking derive from this instead of
+    the live M, so verify and baseline rows stay bit-identical.
     """
     assert not (gate and residual is not None)
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    rows = rows_hint or M
     if (norm is not None or gate or residual is not None) \
             and _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
         from magicdec_tpu.ops import pallas as PL
@@ -149,102 +190,70 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
         In = wq.q.shape[0] * (2 if wq.bits == 4 else 1)
         Out = wq.q.shape[1]
         F = Out // 2 if gate else Out
-        lead = x.shape[:-1]
-        M = 1
-        for d in lead:
-            M *= d
-        if M <= 256 and In % 512 == 0 and F % 256 == 0:
-            def in_block_cap(In):
-                for cand in (2048, 1024, 512):
-                    if In % cand == 0:
-                        return cand
-                return In
-            block_in = in_block_cap(In)
+        if rows <= 256 and M <= rows and In % 512 == 0 and F % 256 == 0:
+            block_in = _in_block_cap(In)
             # norm fusion needs the whole contraction in one int8 block (the
             # row statistic); otherwise pre-norm in jnp and fuse only gate
             fuse_norm = (norm is not None and wq.bits == 8
                          and block_in == In)
-            xm = x.reshape(M, In)
-            if norm is not None and not fuse_norm:
-                xm = _rms_norm(xm, norm[0], norm[1])
             w_bytes_per_out = (block_in * (1 if wq.bits == 8 else 0.5)
                                * (2 if gate else 1))
-            block_out = 256
-            for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384):
-                if F % bo == 0 and bo * w_bytes_per_out <= 2 * 1024 * 1024:
-                    block_out = bo
-                    break
-            y = quant_matmul_fused_pallas(
-                xm, wq.q, wq.scale,
-                norm[0] if fuse_norm else None,
-                residual.reshape(M, F) if residual is not None else None,
-                bits=wq.bits, group_size=wq.group_size,
-                block_in=block_in, block_out=block_out,
-                norm=fuse_norm, norm_eps=(norm[1] if fuse_norm else 1e-5),
-                gate=gate, interpret=PL.use_interpret())
-            return y.reshape(*lead, F)
+            block_out = _pick_block_out(F, rows, block_in, In,
+                                        w_bytes_per_out, fuse_norm)
+            if block_out:
+                xm = x.reshape(M, In)
+                if norm is not None and not fuse_norm:
+                    xm = _rms_norm(xm, norm[0], norm[1])
+                y = quant_matmul_fused_pallas(
+                    xm, wq.q, wq.scale,
+                    norm[0] if fuse_norm else None,
+                    residual.reshape(M, F) if residual is not None else None,
+                    bits=wq.bits, group_size=wq.group_size,
+                    block_in=block_in, block_out=block_out,
+                    norm=fuse_norm, norm_eps=(norm[1] if fuse_norm else 1e-5),
+                    gate=gate, interpret=PL.use_interpret())
+                return y.reshape(*lead, F)
     if norm is not None:
         x = _rms_norm(x, norm[0], norm[1])
     if gate:
-        y = quant_matmul(x, wq)
+        y = quant_matmul(x, wq, rows_hint=rows_hint)
         F = y.shape[-1] // 2
         return jax.nn.silu(y[..., :F]) * y[..., F:]
     if residual is not None:
-        return residual + quant_matmul(x, wq)
+        return residual + quant_matmul(x, wq, rows_hint=rows_hint)
     if _MATMUL_BACKEND == "pallas" and wq.q.ndim == 2:
         from magicdec_tpu.ops import pallas as PL
         from magicdec_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
 
         In = wq.q.shape[0] * (2 if wq.bits == 4 else 1)
         Out = wq.q.shape[1]
-        lead = x.shape[:-1]
-        M = 1
-        for d in lead:
-            M *= d
         # the kernel keeps all M rows in VMEM (weights are the streamed
         # operand): decode/verify shapes only — prefill chunks (M = B*C) use
-        # the jnp path, where XLA fuses the dequant cast into the matmul
-        # decode/verify row counts only (B * (gamma+1) <= ~256): the kernel
-        # keeps all M rows of x AND an [M, block_out] f32 accumulator in
-        # VMEM, so prefill-sized M (e.g. the 8B draft prefill's B=8 x C=128
-        # = 1024 rows) compiles 4 MiB over the scoped limit; large M uses
-        # the jnp path where XLA fuses the dequant cast into the dot
-        if M <= 256 and In % 512 == 0 and Out % 256 == 0:
-            # per-channel (G==1) scales are constant along the contraction,
-            # so the accumulator grid may split the in axis too: cap blocks
-            # at 4096 rows — In=14336 (llama-3.1-8b w2) as ONE block compiles
-            # to 36 MiB of scoped VMEM, 2.3x the 16 MiB hard limit
-            # cap at 2048 (the known-good llama-3.2-1b whole-In shape): the
-            # kernel's in-VMEM bf16 cast of the weight block doubles its
-            # footprint, and 4096-row blocks still compiled 4 MiB over the
-            # scoped limit at the 8B shapes
-            def in_block_cap(In):
-                for cand in (2048, 1024, 512):
-                    if In % cand == 0:
-                        return cand
-                return In
-            # Blocking: the whole contraction axis per block (one accumulator
-            # pass), then the widest output block that keeps one weight block
-            # ~<= 2 MiB.  Small blocks are the draft step's dominant cost:
-            # a [32, 512]x[512, 512] step moves 256 KB per ~1.5 us of grid
-            # fixed cost, leaving the kernel far below HBM bandwidth (the
-            # measured ~2x draft roofline gap, COVERAGE.md); 2 MiB blocks cut
-            # the step count ~10x at unchanged VMEM (<= 2 blocks in flight
-            # + M rows of x/out).
-            block_in = in_block_cap(In)
+        # the jnp path, where XLA fuses the dequant cast into the matmul.
+        # ``rows`` (the decode_rows hint when set, else the live M) must stay
+        # <= ~256: the kernel keeps all M rows of x AND an [M, block_out]
+        # f32 accumulator in VMEM, so prefill-sized M (e.g. the 8B draft
+        # prefill's B=8 x C=128 = 1024 rows) compiles 4 MiB over the limit.
+        if rows <= 256 and M <= rows and In % 512 == 0 and Out % 256 == 0:
+            # Blocking: whole contraction per block when it fits (one
+            # accumulator pass; capped at 2048 rows — In=14336 as one block
+            # compiles to 36 MiB of scoped VMEM), then the widest output
+            # block that keeps one streamed weight block ~<= 2 MiB.  Small
+            # blocks are the draft step's dominant cost: a [32,512]x[512,512]
+            # step moves 256 KB per ~1.5 us of grid fixed cost (the measured
+            # ~2x draft roofline gap, COVERAGE.md).  _pick_block_out also
+            # vetoes combinations whose ROW-resident VMEM (sized at ``rows``,
+            # not M) would blow the scoped limit.
+            block_in = _in_block_cap(In)
             w_bytes_per_out = block_in * (1 if wq.bits == 8 else 0.5)
-            block_out = 256  # always divides (guard above) and is lane-tiled
-            for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384):
-                # lane dim must be a multiple of 128 AND divide Out (the
-                # llama-3 vocab 128256 = 128*2*3*167 tiles by 768, not 1024)
-                if Out % bo == 0 and bo * w_bytes_per_out <= 2 * 1024 * 1024:
-                    block_out = bo
-                    break
-            y = quant_matmul_pallas(x.reshape(M, In), wq.q, wq.scale,
-                                    bits=wq.bits, group_size=wq.group_size,
-                                    block_in=block_in, block_out=block_out,
-                                    interpret=PL.use_interpret())
-            return y.reshape(*lead, Out)
+            block_out = _pick_block_out(Out, rows, block_in, In,
+                                        w_bytes_per_out, False)
+            if block_out:
+                y = quant_matmul_pallas(x.reshape(M, In), wq.q, wq.scale,
+                                        bits=wq.bits, group_size=wq.group_size,
+                                        block_in=block_in, block_out=block_out,
+                                        interpret=PL.use_interpret())
+                return y.reshape(*lead, Out)
     q = wq.q
     if wq.bits == 4:
         q = unpack_int4(q)
@@ -265,7 +274,7 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
 
 
 def quant_mlp(x: jnp.ndarray, w13: QuantizedWeight, w2: QuantizedWeight,
-              norm, residual=None):
+              norm, residual=None, rows_hint: int = 0):
     """Whole FFN block — rms_norm -> silu-gated MLP -> w2 [+ residual] — as
     ONE pallas call (ops/pallas/quant_matmul.quant_mlp_pallas) when shapes
     allow, else ``None`` (caller falls back to the two-call path).
@@ -297,15 +306,19 @@ def quant_mlp(x: jnp.ndarray, w13: QuantizedWeight, w2: QuantizedWeight,
     M = 1
     for d in lead:
         M *= d
-    # one D-spanning block per dot (the norm's row statistic); VMEM per grid
-    # cell is ~3*D*block_f int8 (gate + up + w2 blocks), double-buffered —
-    # keep it <= ~3 MiB so the whole call stays well under the 16 MiB scoped
-    # limit alongside the [M, D] hn/acc scratch
-    if not (M <= 256 and D % 128 == 0 and D <= 4096):
+    rows = rows_hint or M
+    # one D-spanning block per dot (the norm's row statistic).  VMEM per
+    # grid cell: the double-buffered int8 weight blocks (gate + up [D, bf]
+    # and w2 [bf, D] -> 6*D*bf bytes) PLUS the row-resident arrays — x, hn
+    # scratch, o, optional res (bf16) and the f32 accumulator — sized at
+    # ``rows`` (the decode_rows hint), NOT the live M, so baseline and
+    # verify pick identical blocking (ADVICE r4: an M-blind budget admitted
+    # M=256 x D=4096 shapes that AOT-reject at the 16 MiB scoped limit).
+    if not (rows <= 256 and M <= rows and D % 128 == 0 and D <= 4096):
         return None
     block_f = 0
     for bf in (1024, 768, 512, 384, 256, 128):
-        if F % bf == 0 and 3 * D * bf <= 3 * 1024 * 1024:
+        if F % bf == 0 and 6 * D * bf + rows * D * 14 <= 14 * 1024 * 1024:
             block_f = bf
             break
     if not block_f:
@@ -373,6 +386,105 @@ def quant_layer_tail(a: jnp.ndarray, x: jnp.ndarray, wo: QuantizedWeight,
         a.reshape(M, K), x.reshape(M, D), wo.q, wo.scale, w13.q, w13.scale,
         w2.q, w2.scale, norm[0], block_f=block_f, norm_eps=norm[1],
         interpret=PL.use_interpret())
+    return y.reshape(*lead, D)
+
+
+def dense_matmul(x: jnp.ndarray, w: jnp.ndarray, norm=None, residual=None,
+                 rows_hint: int = 0) -> jnp.ndarray:
+    """[residual +] rms_norm?(x) @ w for DENSE (bf16) weights.
+
+    The decode-path counterpart of quant_matmul for unquantized target
+    weights (this module is the matmul-backend dispatch home): when
+    ``rows_hint`` is set (ModelConfig.decode_rows — target decode/verify
+    passes only) and the pallas backend is on, routes to the weight-streaming
+    ``dense_matmul_fused_pallas`` kernel with the norm/residual fused
+    in-kernel — on-chip profiling measured ~2.6 ms/forward of XLA-dot +
+    stranded-elementwise overhead on the dense target path (COVERAGE.md
+    round-4 close-out).  Routing and blocking derive from rows_hint, never
+    the live M, so verify (M = B*(gamma+1)) and baseline (M = B) rows stay
+    bit-identical (the golden spec == AR contract).  rows_hint == 0 (prefill,
+    mesh engines, external callers) keeps the plain XLA dot.
+    """
+    if (rows_hint and _MATMUL_BACKEND == "pallas" and w.ndim == 2
+            and not is_quantized(w)):
+        In, Out = w.shape
+        lead = x.shape[:-1]
+        M = 1
+        for d in lead:
+            M *= d
+        if (rows_hint <= 512 and M <= rows_hint and In % 128 == 0
+                and Out % 128 == 0):
+            from magicdec_tpu.ops import pallas as PL
+            from magicdec_tpu.ops.pallas.quant_matmul import (
+                dense_matmul_fused_pallas)
+
+            # norm fusion needs one in-block spanning the contraction (the
+            # row statistic); plain/residual dots may split the in axis
+            block_in = In if norm is not None else min(_in_block_cap(In), In)
+            if In % block_in:
+                block_in = In
+            block_out = _pick_block_out(Out, rows_hint, block_in, In,
+                                        block_in * 2, norm is not None)
+            if block_out:
+                xm = x.reshape(M, In)
+                y = dense_matmul_fused_pallas(
+                    xm, w, norm[0] if norm is not None else None,
+                    residual.reshape(M, Out) if residual is not None else None,
+                    block_in=block_in, block_out=block_out,
+                    norm=norm is not None,
+                    norm_eps=(norm[1] if norm is not None else 1e-5),
+                    interpret=PL.use_interpret())
+                return y.reshape(*lead, Out)
+    if norm is not None:
+        x = _rms_norm(x, norm[0], norm[1])
+    y = x @ w
+    return y if residual is None else residual + y
+
+
+def dense_mlp(x: jnp.ndarray, w13: jnp.ndarray, w2: jnp.ndarray, norm,
+              residual=None, rows_hint: int = 0):
+    """Whole DENSE FFN block — rms_norm -> silu-gated MLP -> w2 [+ residual]
+    — as ONE pallas call (ops/pallas/quant_matmul.dense_mlp_pallas) when
+    shapes allow, else ``None`` (caller falls back to dense_matmul pieces).
+
+    quant_mlp at bits=16: target decode/verify passes only (rows_hint
+    required — routing is M-invariant for the golden contract; see
+    dense_matmul).  bf16 weight blocks are 2x the int8 ones, so the VMEM
+    budget admits smaller F-blocks and smaller row counts than quant_mlp.
+    """
+    if not rows_hint or _MATMUL_BACKEND != "pallas":
+        return None
+    if is_quantized(w13) or is_quantized(w2):
+        return None
+    if w13.ndim != 2 or w2.ndim != 2:
+        return None
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    F = w13.shape[1] // 2
+    if w2.shape != (F, D):
+        return None
+    M = 1
+    for d in lead:
+        M *= d
+    if not (rows_hint <= 512 and M <= rows_hint and D % 128 == 0
+            and D <= 4096):
+        return None
+    # weight blocks (gate + up [D, bf] + w2 [bf, D], bf16, double-buffered
+    # -> 12*D*bf bytes) + row-resident x/hn/acc/o/res sized at rows_hint
+    block_f = 0
+    for bf in (1024, 768, 512, 384, 256, 128):
+        if F % bf == 0 and 12 * D * bf + rows_hint * D * 14 <= 14 * 1024 * 1024:
+            block_f = bf
+            break
+    if not block_f:
+        return None
+    from magicdec_tpu.ops import pallas as PL
+    from magicdec_tpu.ops.pallas.quant_matmul import dense_mlp_pallas
+
+    y = dense_mlp_pallas(
+        x.reshape(M, D), w13, w2, norm[0],
+        residual.reshape(M, D) if residual is not None else None,
+        block_f=block_f, norm_eps=norm[1], interpret=PL.use_interpret())
     return y.reshape(*lead, D)
 
 

@@ -111,6 +111,10 @@ def main():
                                     bits=8 if args.draft_quant == "int8" else 4)
 
     B, ctx, g = args.B, args.ctx, args.gamma
+    # the production engines route TARGET matmuls on the decode-rows hint
+    # (ModelConfig.decode_rows, engine._hinted); profile the same programs
+    import dataclasses as _dc
+    hcfg = _dc.replace(cfg, decode_rows=B * (g + 1))
     S = ((ctx + 80 + g + 2 + args.seq_round - 1) // args.seq_round) * args.seq_round
     L, Hkv, hd = cfg.n_layer, cfg.n_kv_head, cfg.head_dim
     K = Hkv * hd
@@ -142,13 +146,13 @@ def main():
 
     def baseline_step(st, params):
         tok, lens, caches = st
-        nxt, caches = M.forward_target(params, cfg, tok, lens, caches,
+        nxt, caches = M.forward_target(params, hcfg, tok, lens, caches,
                                        backend="flash")
         return nxt, lens + 1, caches
 
     def noctx_step(st, params):
         tok, lens, caches = st
-        nxt, caches = M.forward_target(params, cfg, tok, lens, caches,
+        nxt, caches = M.forward_target(params, hcfg, tok, lens, caches,
                                        backend="flash")
         return nxt, lens, caches  # lens stays 0
 
@@ -160,13 +164,13 @@ def main():
 
     def verify_step(st, params):
         buf, lens, caches = st
-        out, caches = M.forward_target(params, cfg, buf, lens, caches,
+        out, caches = M.forward_target(params, hcfg, buf, lens, caches,
                                        backend="flash")
         return jnp.concatenate([out[:, :1], out[:, :-1]], 1), lens + g + 1, caches
 
     def head_only(st, params):
         (x,) = st
-        t = M.head_argmax(params, cfg, x)
+        t = M.head_argmax(params, hcfg, x)
         return (x + t[..., None].astype(x.dtype) * 0 + 1e-6,)
 
     n = args.iters

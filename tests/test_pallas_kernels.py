@@ -228,6 +228,66 @@ class TestQuantMatmulKernel:
         np.testing.assert_allclose(np.asarray(out2), np.asarray(x @ w),
                                    atol=2e-3, rtol=2e-3)
 
+    def test_dense_mlp_matches_jnp_chain(self):
+        """dense_mlp_pallas (whole DENSE FFN — norm -> gate|up -> SiLU ->
+        w2 -> +res — in one call; the round-5 wired dense-target lever) ==
+        the jnp chain, with and without residual."""
+        import jax
+
+        from magicdec_tpu import quantization as Q
+        from magicdec_tpu.ops.pallas.quant_matmul import dense_mlp_pallas
+
+        rng = np.random.RandomState(51)
+        D, F, M = 256, 512, 8
+        x = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        res = jnp.asarray(rng.randn(M, D).astype(np.float32))
+        nw = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        w13 = jnp.asarray(rng.randn(D, 2 * F).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(rng.randn(F, D).astype(np.float32) * 0.05)
+        gu = Q._rms_norm(x, nw, 1e-5) @ w13
+        gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+        ref = res + gated @ w2
+        out = dense_mlp_pallas(x, w13, w2, nw, res, block_f=128,
+                               norm_eps=1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+        out2 = dense_mlp_pallas(x, w13, w2, nw, block_f=128, norm_eps=1e-5,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref - res),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_dense_dispatch_rows_hint_m_invariant(self):
+        """The decode-rows routing contract (config.py ModelConfig
+        .decode_rows): with the SAME rows_hint, a row produces bit-identical
+        output whether it rides an M=B call (baseline) or an
+        M=B*(gamma+1) call (verify) — for hints on BOTH sides of the
+        kernel/jnp routing boundary."""
+        from magicdec_tpu import quantization as Q
+
+        rng = np.random.RandomState(52)
+        D, Out = 512, 512  # In % 512 == 0 so the quant kernel can engage
+        w = jnp.asarray(rng.randn(D, Out).astype(np.float32) * 0.05)
+        nw = jnp.asarray(rng.rand(D).astype(np.float32) + 0.5)
+        big = jnp.asarray(rng.randn(16, D).astype(np.float32))
+        small = big[:4]
+        old = Q._MATMUL_BACKEND
+        Q.set_matmul_backend("pallas")
+        try:
+            for hint in (16, 600):  # 16 -> kernel engages; 600 -> jnp (both)
+                yb = Q.dense_matmul(big, w, norm=(nw, 1e-5), rows_hint=hint)
+                ys = Q.dense_matmul(small, w, norm=(nw, 1e-5), rows_hint=hint)
+                np.testing.assert_array_equal(np.asarray(yb)[:4],
+                                              np.asarray(ys))
+                wq = Q.quantize_weight(w, bits=8)
+                qb = Q.quant_matmul(big.astype(jnp.float32), wq,
+                                    norm=(nw, 1e-5), rows_hint=hint)
+                qs = Q.quant_matmul(small.astype(jnp.float32), wq,
+                                    norm=(nw, 1e-5), rows_hint=hint)
+                np.testing.assert_array_equal(np.asarray(qb)[:4],
+                                              np.asarray(qs))
+        finally:
+            Q.set_matmul_backend(old)
+
     def test_quant_layer_tail_matches_pair(self):
         """quant_layer_tail_pallas (wo + residual + FFN + residual in ONE
         call) == the _wo_residual + quant_mlp composition."""

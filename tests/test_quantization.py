@@ -229,6 +229,59 @@ def test_draft_quant_pallas_backend_selfspec_greedy_parity():
         np.testing.assert_array_equal(out[b, :m], ref[b, :m])
 
 
+@pytest.mark.parametrize("quantize", [False, True])
+def test_target_pallas_backend_spec_equals_ar(quantize):
+    """Golden spec == AR with the pallas backend on the TARGET path (ADVICE
+    r4: the int8-target / dense-target kernels had no engine-level golden
+    coverage).  ``quantize=True`` runs int8 TARGET weights through the fused
+    quant kernels on verify AND baseline; ``quantize=False`` runs bf16 target
+    weights through the round-5 dense fused kernels (dense_matmul /
+    dense_mlp).  Shapes engage the kernels (D=512 so In % 512 == 0); spec
+    and AR run the SAME engine, so the contract is the M-invariant routing:
+    verify rows (M = B*(gamma+1)) must be bit-identical to baseline rows
+    (M = B)."""
+    from bench import make_params
+    from magicdec_tpu.config import ModelConfig
+
+    cfg = ModelConfig(name="t512", block_size=512, vocab_size=256, n_layer=2,
+                      n_head=8, n_kv_head=4, dim=512, intermediate_size=1024)
+    params = make_params(cfg, dtype=jnp.float32)
+    old = Q._MATMUL_BACKEND
+    Q.set_matmul_backend("pallas")
+    try:
+        if quantize:
+            params = Q.quantize_params(params, bits=8)
+        ecfg = EngineConfig(mode="streamingllm", gamma=3, draft_budget=65,
+                            max_seq_len=256, chunk_size=32, sink_size=8,
+                            max_gen=14, eot_ids=(-1,),
+                            cache_dtype=jnp.float32)
+        eng = SpecEngine(params, cfg, ecfg)
+        # the hint must engage the kernels at these shapes on both passes
+        assert eng._hinted(2).decode_rows == 8
+        if not quantize:
+            w13 = eng.params["layers"]["w13"][0]
+            probe = Q.dense_mlp(jnp.zeros((2, cfg.dim), jnp.float32), w13,
+                                eng.params["layers"]["w2"][0],
+                                (jnp.ones((cfg.dim,), jnp.float32), 1e-5),
+                                rows_hint=8)
+            assert probe is not None, "dense_mlp should engage at these shapes"
+        rng = np.random.RandomState(23)
+        prompt = jnp.asarray(rng.randint(0, 256, size=(2, 64)), jnp.int32)
+        st = eng.encode(prompt)
+        _, stats = eng.generate(st)
+        bst = eng.encode_baseline(prompt)
+        _, bstats = eng.generate_baseline(bst, max_new=14)
+    finally:
+        Q.set_matmul_backend(old)
+    out = np.asarray(stats["output"])
+    ref = np.asarray(bstats["output"])
+    n = np.asarray(stats["num_committed"])
+    assert n.max() >= 14
+    for b in range(2):
+        m = min(int(n[b]), 14)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
+
+
 def test_draft_quant_longspec_matches_full_precision_greedy():
     from magicdec_tpu.engine.engine import LongSpecEngine
     from tests.test_longspec import DRAFT_CFG, DRAFT_PARAMS

@@ -147,3 +147,64 @@ def test_kv_quant_sharded_matches_single_device():
     _, tp_stats = tp.generate(st)
     np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
                                   np.asarray(tp_stats["output"]))
+
+
+def test_padded_kv_heads_tp_matches_single_device():
+    """Non-divisible kv-head TP (VERDICT r4 item 3): n_kv_head=2 on a 4-way
+    model axis pads to 4 zero-contribution kv heads (S.pad_heads_for_tp —
+    the GSPMD equivalent of the reference's uneven round-robin split,
+    Engine/tp.py:36-52) and must reproduce single-device outputs bit-exactly.
+    """
+    pcfg = tiny_config(vocab_size=128, n_layer=2, n_head=8, n_kv_head=2,
+                       dim=64, intermediate_size=128)
+    pparams = _random_params(pcfg, seed=9)
+    B, prefix = 4, 48
+    prompt = _prompt(B, prefix, seed=7)
+
+    ref_engine = SpecEngine(pparams, pcfg, _ecfg("streamingllm"))
+    st = ref_engine.encode(prompt)
+    _, ref_stats = ref_engine.generate(st)
+    bst = ref_engine.encode_baseline(prompt)
+    _, ref_base = ref_engine.generate_baseline(bst, max_new=12)
+
+    mesh = S.make_mesh(data=2, model=4)
+    tp_engine = SpecEngine(pparams, pcfg, _ecfg("streamingllm"), mesh=mesh)
+    assert tp_engine.cfg.n_kv_head == 4 and tp_engine.cfg.n_head == 16
+    assert tp_engine.cfg.head_dim == pcfg.head_dim  # not dim // n_head
+    st = tp_engine.encode(prompt)
+    _, tp_stats = tp_engine.generate(st)
+    np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
+                                  np.asarray(tp_stats["output"]))
+    np.testing.assert_array_equal(np.asarray(ref_stats["num_committed"]),
+                                  np.asarray(tp_stats["num_committed"]))
+    bst = tp_engine.encode_baseline(prompt)
+    _, tp_base = tp_engine.generate_baseline(bst, max_new=12)
+    np.testing.assert_array_equal(np.asarray(ref_base["output"]),
+                                  np.asarray(tp_base["output"]))
+
+
+def test_padded_kv_heads_quantized_draft():
+    """pad_heads_for_tp on int8 per-channel quantized leaves: a padded
+    quantized DRAFT copy (draft_quant under a mesh, jnp backend) still
+    commits exactly the full-precision target's greedy output."""
+    pcfg = tiny_config(vocab_size=128, n_layer=2, n_head=8, n_kv_head=2,
+                       dim=64, intermediate_size=128)
+    pparams = _random_params(pcfg, seed=9)
+    B, prefix = 4, 48
+    prompt = _prompt(B, prefix, seed=7)
+    ref_engine = SpecEngine(pparams, pcfg, _ecfg("streamingllm"))
+    bst = ref_engine.encode_baseline(prompt)
+    _, ref_base = ref_engine.generate_baseline(bst, max_new=12)
+
+    mesh = S.make_mesh(data=2, model=4)
+    import dataclasses
+    ecfg = dataclasses.replace(_ecfg("streamingllm"), draft_quant="int8")
+    tp_engine = SpecEngine(pparams, pcfg, ecfg, mesh=mesh)
+    st = tp_engine.encode(prompt)
+    _, stats = tp_engine.generate(st)
+    out = np.asarray(stats["output"])
+    ref = np.asarray(ref_base["output"])
+    n = np.asarray(stats["num_committed"])
+    for b in range(B):
+        m = min(int(n[b]), 12)
+        np.testing.assert_array_equal(out[b, :m], ref[b, :m])
