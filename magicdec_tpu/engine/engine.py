@@ -385,15 +385,31 @@ class SpecEngine:
     def _split_part_size(self, prefix: int):
         """Tokens per device call for split prefill, or None for the
         monolithic single-program encode.  Split applies when
-        EngineConfig.prefill_max_call_tokens > 0, the engine is meshless
-        streamingllm self-spec, and the prefix divides into equal parts that
-        are multiples of both chunk sizes (bench shapes always do)."""
+        EngineConfig.prefill_max_call_tokens > 0 and the engine is meshless
+        (a single device call whose EXECUTION runs for minutes hard-crashes
+        the remote TPU worker — round-3 root cause; the bounded-call
+        discipline is mode-agnostic since round 5):
+
+        - streamingllm self-spec: the prefix divides into equal parts that
+          are multiples of both chunk sizes (bench shapes always do);
+        - snapkv self-spec: the PRE-WINDOW prefix (prefix - window_size)
+          splits into Cp-multiple parts; the observation-window chunk stays
+          in the bounded tail call (_snapkv_tail_fn).
+        LongSpecEngine overrides with the standalone-draft variants."""
         e = self.ecfg
         if (not e.prefill_max_call_tokens or self.mesh is not None
-                or e.mode != "streamingllm" or not self._SELF_SPEC):
+                or not self._SELF_SPEC):
             return None
         C = e.chunk_size
         Cp = e.prefill_chunk_size or C
+        if e.mode == "snapkv":
+            pre = prefix - e.window_size
+            part = (e.prefill_max_call_tokens // Cp) * Cp
+            if part <= 0 or pre <= part or pre % Cp != 0:
+                return None
+            return part
+        if e.mode != "streamingllm":
+            return None
         import math
         lcm = Cp * C // math.gcd(Cp, C)
         part = (e.prefill_max_call_tokens // lcm) * lcm
@@ -538,6 +554,8 @@ class SpecEngine:
         # prefix would silently clamp-truncate appends at the cache end
         assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
             "max_seq_len too small for prefix + generation"
+        if e.mode == "snapkv":
+            return self._encode_split_snapkv(tokens, rng, salt, part)
         tcaches, dcaches = self._zero_caches(B)
         quant = tcaches.get("ks") is not None
         state = [tcaches["k"], tcaches["v"]]
@@ -636,6 +654,66 @@ class SpecEngine:
 
         n_cache = 6 if quant else 4
         return jax.jit(tail, donate_argnums=tuple(range(3, 3 + n_cache)))
+
+    def _encode_split_snapkv(self, tokens, rng, salt, part: int) -> SpecState:
+        """Split snapkv self-spec prefill: the pre-window prefix runs as
+        bounded donated target-prefill calls (_baseline_part_fn — identical
+        chunk boundaries to the monolithic encode), the observation-window
+        chunk + draft-KV compression + head ride the tail call."""
+        B, prefix = tokens.shape
+        e = self.ecfg
+        caches = self._zero_target_caches(B)
+        quant = caches.get("ks") is not None
+        state = [caches["k"], caches["v"]]
+        if quant:
+            state += [caches["ks"], caches["vs"]]
+        state += [jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B, self.cfg.dim), self.params["final_norm"].dtype)]
+        pre = prefix - e.window_size
+        n_parts, rem = divmod(pre, part)
+        fn = self._baseline_part_fn(B, part)
+        for i in range(n_parts):
+            state = list(fn(self.params, tokens[:, i * part:(i + 1) * part],
+                            *state))
+        if rem:
+            state = list(self._baseline_part_fn(B, rem)(
+                self.params, tokens[:, n_parts * part:pre], *state))
+        return self._snapkv_tail_fn(B, prefix)(
+            self.params, tokens[:, pre:], rng, salt, *state)
+
+    @functools.lru_cache(maxsize=8)
+    def _snapkv_tail_fn(self, B: int, prefix: int):
+        """Observation-window chunk (target append + attention + draft-KV
+        build, forward_prefill_snapkv_last) + head token + fresh SpecState —
+        the bounded tail of the split snapkv encode."""
+        e, cfg = self.ecfg, self.cfg
+        quant = bool(e.kv_quant)
+
+        def tail(params, wtoks, rng, salt, *state):
+            if quant:
+                k, v, ks, vs, lens, _x_last = state
+                caches = {"k": k, "v": v, "ks": ks, "vs": vs}
+            else:
+                k, v, lens, _x_last = state
+                caches = {"k": k, "v": v}
+            dt = e.cache_dtype
+            dk = jnp.zeros(self._cache_shape(B, self._draft_cap,
+                                             self._draft_cfg()), dt)
+            caches = {**caches, "dk": dk, "dv": jnp.zeros_like(dk)}
+            x, caches = M.forward_prefill_snapkv_last(
+                params, cfg, wtoks, lens, caches,
+                ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
+                kernel_size=e.kernel_size, pooling=e.pooling,
+                backend=self._backend_t, head="none")
+            lens = lens + e.window_size
+            token0 = self._head_token(params, x[:, -1], rng, salt)
+            return self._fresh_state(
+                caches, lens, token0,
+                draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
+                draft_pos=lens, rng=rng, salt=salt)
+
+        n_cache = 4 if quant else 2
+        return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_cache)))
 
     # ------------------------------------------------------------------
     # speculative generation (one jitted while_loop)
@@ -1109,6 +1187,213 @@ class LongSpecEngine(SpecEngine):
         (reference --draft_rank_group, SURVEY.md §2.3 mode 4)."""
         from magicdec_tpu.parallel import sharding as S
         return S.draft_axes_of(mesh)
+
+    # ------------------------------------------------------------------
+    # split prefill (bounded donated device calls — the round-3 crash
+    # discipline, mode-agnostic since round 5): target parts, then draft
+    # parts per draft-cache mode, then one tail call
+    # ------------------------------------------------------------------
+
+    def _split_part_size(self, prefix: int):
+        e = self.ecfg
+        if not e.prefill_max_call_tokens or self.mesh is not None:
+            return None
+        C = e.chunk_size
+        Cp = e.prefill_chunk_size or C
+        if e.mode == "streamingllm":
+            import math
+            lcm = Cp * C // math.gcd(Cp, C)
+            part = (e.prefill_max_call_tokens // lcm) * lcm
+            if part <= 0 or prefix % lcm != 0 or prefix <= part:
+                return None
+            return part
+        part = (e.prefill_max_call_tokens // Cp) * Cp
+        if e.mode == "snapkv":
+            # prefix itself is ragged (k*C + window) — the target part
+            # loop's ragged remainder call absorbs the window tokens
+            pre = prefix - e.window_size
+            if part <= 0 or pre <= part or pre % Cp != 0:
+                return None
+            return part
+        # mode == "full": draft prefills the same token stream with Cp chunks
+        if part <= 0 or prefix <= part:
+            return None
+        return part
+
+    def _encode_split(self, tokens, rng, salt, part: int) -> SpecState:
+        B, prefix = tokens.shape
+        e = self.ecfg
+        assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
+            "max_seq_len too small for prefix + generation"
+        # phase 1: TARGET parts over the full prefix (ragged tail handled
+        # inside _baseline_part_fn — same chunk boundaries as monolithic)
+        caches = self._zero_target_caches(B)
+        quant = caches.get("ks") is not None
+        tstate = [caches["k"], caches["v"]]
+        if quant:
+            tstate += [caches["ks"], caches["vs"]]
+        tstate += [jnp.zeros((B,), jnp.int32),
+                   jnp.zeros((B, self.cfg.dim),
+                             self.params["final_norm"].dtype)]
+        n_parts, rem = divmod(prefix, part)
+        fn = self._baseline_part_fn(B, part)
+        for i in range(n_parts):
+            tstate = list(fn(self.params, tokens[:, i * part:(i + 1) * part],
+                             *tstate))
+        if rem:
+            tstate = list(self._baseline_part_fn(B, rem)(
+                self.params, tokens[:, n_parts * part:], *tstate))
+
+        # phase 2: DRAFT parts per draft-cache mode
+        dcfg, dt = self.draft_cfg, e.cache_dtype
+        C = e.chunk_size
+        d_xdt = self.draft_params["final_norm"].dtype
+        if e.mode == "full":
+            dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
+            dstate = [dk, jnp.zeros_like(dk), jnp.zeros((B,), jnp.int32),
+                      jnp.zeros((B, dcfg.dim), d_xdt)]
+            dfn = self._baseline_part_fn(B, part, which="draft", quant=False)
+            for i in range(n_parts):
+                dstate = list(dfn(self.draft_params,
+                                  tokens[:, i * part:(i + 1) * part], *dstate))
+            if rem:
+                dstate = list(self._baseline_part_fn(
+                    B, rem, which="draft", quant=False)(
+                        self.draft_params, tokens[:, n_parts * part:], *dstate))
+            dk, dv, dlens = dstate[0], dstate[1], dstate[2]
+            return self._longspec_tail_fn(B, prefix, "full")(
+                self.params, rng, salt, dlens, *tstate, dk, dv)
+        if e.mode == "streamingllm":
+            dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
+            dstate = [dk, jnp.zeros_like(dk), jnp.zeros((), jnp.int32)]
+            dfn = self._stream_draft_part_fn(B, part)
+            for i in range(n_parts):
+                dstate = list(dfn(self.draft_params,
+                                  tokens[:, i * part:(i + 1) * part], *dstate))
+            if rem:
+                dstate = list(self._stream_draft_part_fn(B, rem)(
+                    self.draft_params, tokens[:, n_parts * part:], *dstate))
+            dk, dv, fill = dstate
+            return self._longspec_tail_fn(B, prefix, "streamingllm")(
+                self.params, rng, salt, fill, *tstate, dk, dv)
+        # mode == "snapkv": draft prefills its TEMP full cache over the
+        # pre-window prefix in parts; the tail runs the window compress
+        pre = prefix - e.window_size
+        fk = jnp.zeros(self._cache_shape(B, _round_up(prefix, C), dcfg), dt)
+        dstate = [fk, jnp.zeros_like(fk), jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B, dcfg.dim), d_xdt)]
+        dn, drem = divmod(pre, part)
+        dfn = self._baseline_part_fn(B, part, which="draft", quant=False)
+        for i in range(dn):
+            dstate = list(dfn(self.draft_params,
+                              tokens[:, i * part:(i + 1) * part], *dstate))
+        if drem:
+            dstate = list(self._baseline_part_fn(
+                B, drem, which="draft", quant=False)(
+                    self.draft_params, tokens[:, dn * part:pre], *dstate))
+        fk, fv, flens = dstate[0], dstate[1], dstate[2]
+        return self._longspec_tail_fn(B, prefix, "snapkv")(
+            self.params, rng, salt, tokens[:, pre:], self.draft_params,
+            *tstate, fk, fv, flens)
+
+    @functools.lru_cache(maxsize=16)
+    def _stream_draft_part_fn(self, B: int, T: int):
+        """Bounded streaming-draft prefill part (sink+window eviction carry),
+        draft cache donated."""
+        e, dcfg = self.ecfg, self.draft_cfg
+        C = e.chunk_size
+        n_full, rem = divmod(T, C)
+
+        def part(draft_params, toks, dk, dv, fill):
+            dcaches = {"dk": dk, "dv": dv}
+            if n_full:
+                xs = jnp.moveaxis(
+                    toks[:, :n_full * C].reshape(B, n_full, C), 1, 0)
+
+                def body(carry, chunk):
+                    dcaches, fill = carry
+                    _, dcaches = M.forward_streaming_draft_chunk(
+                        draft_params, dcfg, chunk, fill, dcaches,
+                        budget=e.draft_budget, sink=e.sink_size)
+                    return (dcaches,
+                            jnp.minimum(fill + C, e.draft_budget)), None
+
+                (dcaches, fill), _ = jax.lax.scan(body, (dcaches, fill), xs)
+            if rem:
+                _, dcaches = M.forward_streaming_draft_chunk(
+                    draft_params, dcfg, toks[:, n_full * C:], fill, dcaches,
+                    budget=e.draft_budget, sink=e.sink_size)
+                fill = jnp.minimum(fill + rem, e.draft_budget)
+            return dcaches["dk"], dcaches["dv"], fill
+
+        return jax.jit(part, donate_argnums=(2, 3))
+
+    @functools.lru_cache(maxsize=8)
+    def _longspec_tail_fn(self, B: int, prefix: int, mode: str):
+        """head token + draft finalize + fresh SpecState for the split
+        longspec encode.  Signature varies by mode (lru key includes it)."""
+        e, dcfg = self.ecfg, self.draft_cfg
+        quant = bool(e.kv_quant)
+        n_t = 4 if quant else 2
+
+        def unpack_t(state):
+            if quant:
+                k, v, ks, vs, lens, x_last = state[:6]
+                return {"k": k, "v": v, "ks": ks, "vs": vs}, lens, x_last, state[6:]
+            k, v, lens, x_last = state[:4]
+            return {"k": k, "v": v}, lens, x_last, state[4:]
+
+        if mode == "full":
+            def tail(params, rng, salt, dlens, *state):
+                caches, lens, x_last, rest = unpack_t(state)
+                dk, dv = rest
+                token0 = self._head_token(params, x_last, rng, salt)
+                caches = {**caches, "dk": dk, "dv": dv}
+                return self._fresh_state(caches, lens, token0,
+                                         draft_fill=dlens, draft_pos=dlens,
+                                         rng=rng, salt=salt)
+            # donate the target cache arrays AND dk/dv (after lens, x_last)
+            return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_t))
+                           + (6 + n_t, 7 + n_t))
+        if mode == "streamingllm":
+            def tail(params, rng, salt, fill, *state):
+                caches, lens, x_last, rest = unpack_t(state)
+                dk, dv = rest
+                token0 = self._head_token(params, x_last, rng, salt)
+                dcaches = M.streaming_finalize_draft(dcfg, {"dk": dk, "dv": dv},
+                                                     budget=e.draft_budget)
+                draft_fill = jnp.broadcast_to(
+                    jnp.minimum(fill, e.draft_budget), (B,)).astype(jnp.int32)
+                caches = {**caches, **dcaches}
+                return self._fresh_state(caches, lens, token0,
+                                         draft_fill=draft_fill,
+                                         draft_pos=draft_fill,
+                                         rng=rng, salt=salt)
+            return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_t))
+                           + (6 + n_t, 7 + n_t))
+
+        # snapkv: window compress over the draft's temp full cache
+        def tail(params, rng, salt, wtoks, draft_params, *state):
+            caches, lens, x_last, rest = unpack_t(state)
+            fk, fv, flens = rest
+            token0 = self._head_token(params, x_last, rng, salt)
+            dt = e.cache_dtype
+            dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
+            full = {"k": fk, "v": fv, "dk": dk, "dv": jnp.zeros_like(dk)}
+            _, full = M.forward_prefill_snapkv_last(
+                draft_params, dcfg, wtoks, flens, full, ctx_len=prefix,
+                window=e.window_size, budget=e.draft_budget,
+                kernel_size=e.kernel_size, pooling=e.pooling,
+                backend=self._backend_d)
+            caches = {**caches, "dk": full["dk"], "dv": full["dv"]}
+            return self._fresh_state(
+                caches, lens, token0,
+                draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
+                draft_pos=lens, rng=rng, salt=salt)
+        # donate the target cache arrays only: the temp fk/fv are read-only
+        # here (no same-shaped output to alias into — donating them just
+        # warns); their buffers free when the caller's locals drop
+        return jax.jit(tail, donate_argnums=tuple(range(5, 5 + n_t)))
 
     def _draft_model(self, params):
         return self.draft_params, self.draft_cfg

@@ -110,18 +110,21 @@ def scale_pspec(axes=("model",)) -> P:
 
 
 def pool_pspec(axes=("model",)) -> P:
-    """Paged-serving KV pools [L, P, page_size, Hkv*hd]: every shard owns
-    whole kv heads of EVERY page (the page axis is a shared structure, so it
-    cannot shard on data — paged serving under a mesh is TP-only, matching
-    the reference's sole operating mode, Engine/tp.py:202-207)."""
+    """Paged-serving KV pools [L, P, page_size, Hkv*hd]: each model shard
+    owns whole kv heads of its pages; the PAGE axis shards over data — each
+    data group owns the pages of its own slots (page-table entries are
+    GROUP-LOCAL ids, engine/serving.PagedServingEngine), so appends never
+    touch another group's pages and nothing diverges.  data=1 reproduces the
+    reference's sole operating mode (8-way TP, Engine/tp.py:202-207)."""
     m = axes if len(axes) > 1 else axes[0]
-    return P(None, None, None, m)
+    return P(None, "data", None, m)
 
 
 def pool_scale_pspec(axes=("model",)) -> P:
-    """Quantized-pool scale pools [L, P, Hkv, page_size]."""
+    """Quantized-pool scale pools [L, P, Hkv, page_size] (page axis on data
+    like pool_pspec)."""
     m = axes if len(axes) > 1 else axes[0]
-    return P(None, None, m, None)
+    return P(None, "data", m, None)
 
 
 def spec_state_pspecs(axes=("model",), draft_axes=None,

@@ -81,3 +81,40 @@ def test_longspec_full_draft_equals_own_greedy():
     st, stats = engine.generate(st)
     gamma = 3
     assert int(stats["target_steps"]) <= -(-max_gen // (gamma + 1)) + 1
+
+
+@pytest.mark.parametrize("mode,prefix", [
+    ("full", 96),
+    ("streamingllm", 96),
+    ("snapkv", 104),
+])
+def test_longspec_split_prefill_matches_monolithic(mode, prefix):
+    """Round-5 mode-agnostic split prefill for the standalone-draft engine:
+    bounded donated target parts + per-mode draft parts + tail must
+    reproduce the monolithic encode bit-exactly, for every draft-cache
+    mode (the round-3 crash discipline extended beyond streamingllm
+    self-spec)."""
+    import dataclasses
+
+    B = 2
+    mono_cfg = dataclasses.replace(_ecfg(mode), prefill_chunk_size=48,
+                                   prefill_max_call_tokens=0)
+    split_cfg = dataclasses.replace(mono_cfg, prefill_max_call_tokens=48)
+    prompt = _prompt(B, prefix, seed=8)
+    e_mono = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, mono_cfg)
+    e_split = LongSpecEngine(PARAMS, CFG, DRAFT_PARAMS, DRAFT_CFG, split_cfg)
+    assert e_split._split_part_size(prefix) == 48
+
+    st_m = e_mono.encode(prompt)
+    st_s = e_split.encode(prompt)
+    np.testing.assert_array_equal(np.asarray(st_m.token0),
+                                  np.asarray(st_s.token0))
+    for f in ("k", "v", "dk", "dv", "target_lens", "draft_fill", "draft_pos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_m, f), np.float32),
+            np.asarray(getattr(st_s, f), np.float32), err_msg=f)
+
+    st_m, stats_m = e_mono.generate(st_m)
+    st_s, stats_s = e_split.generate(st_s)
+    np.testing.assert_array_equal(np.asarray(stats_m["output"]),
+                                  np.asarray(stats_s["output"]))

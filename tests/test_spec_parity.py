@@ -206,3 +206,39 @@ def _ecfg_obj():
                         max_seq_len=256, chunk_size=16, prefill_chunk_size=48,
                         window_size=8, sink_size=4, max_gen=16, eot_ids=(-1,),
                         cache_dtype=jnp.float32)
+
+
+def test_split_prefill_snapkv_matches_monolithic():
+    """Round-5 mode-agnostic split prefill: snapkv self-spec's pre-window
+    prefix as bounded donated calls + window/compress tail must reproduce
+    the monolithic encode bit-exactly (state AND generated tokens)."""
+    import dataclasses
+
+    for kv_quant in (False, "int8"):
+        mono = dataclasses.replace(
+            _ecfg_obj(), mode="snapkv", prefill_max_call_tokens=0,
+            kv_quant=kv_quant)
+        split = dataclasses.replace(mono, prefill_max_call_tokens=48)
+        e_mono = SpecEngine(PARAMS, CFG, mono)
+        e_split = SpecEngine(PARAMS, CFG, split)
+        prefix = 104  # pre-window 96 = 2 x 48-token parts
+        prompt = _prompt(2, prefix)
+        assert e_split._split_part_size(prefix) == 48
+
+        st_m = e_mono.encode(prompt)
+        st_s = e_split.encode(prompt)
+        np.testing.assert_array_equal(np.asarray(st_m.token0),
+                                      np.asarray(st_s.token0))
+        for f in ("k", "v", "dk", "dv", "target_lens", "draft_fill",
+                  "draft_pos"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_m, f), np.float32),
+                np.asarray(getattr(st_s, f), np.float32), err_msg=f)
+        if kv_quant:
+            np.testing.assert_array_equal(np.asarray(st_m.ks, np.float32),
+                                          np.asarray(st_s.ks, np.float32))
+
+        st_m, stats_m = e_mono.generate(st_m)
+        st_s, stats_s = e_split.generate(st_s)
+        np.testing.assert_array_equal(np.asarray(stats_m["output"]),
+                                      np.asarray(stats_s["output"]))
