@@ -377,17 +377,31 @@ class PagedServingEngine(ServingEngine):
         dk = jnp.zeros(self._cache_shape(B, self._draft_cap, self._draft_cfg()),
                        e.cache_dtype)
         dv = jnp.zeros_like(dk)
-        table = jnp.tile(jnp.arange(B, dtype=jnp.int32)[:, None], (1, npr))
+        # Page-group geometry: the pool's page axis shards over the data
+        # axis (sharding.pool_pspec) into `data` contiguous partitions of
+        # Pl pages each — a group's partition holds its own B_local slots'
+        # scratch pages (local ids 0..B_local-1) followed by its share of
+        # the user pages.  Page-table entries are GROUP-LOCAL ids, so each
+        # shard_map shard addresses its local pool directly and appends can
+        # never touch another group's pages.  data == 1 (and meshless)
+        # degenerates to the old global layout bit-for-bit.
+        data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        if B % data or (P - B) % data:
+            raise ValueError(
+                f"paged serving over data={data}: slots B={B} and pool "
+                f"pages {P - B} must both divide by the data axis")
+        self._pgeom = (data, B // data, P // data)  # (data, B_local, Pl)
+        table = jnp.tile((jnp.arange(B, dtype=jnp.int32) % (B // data))[:, None],
+                         (1, npr))
         if self.mesh is not None:
-            # paged serving is TP-only: the pool is ONE shared structure and
-            # every slot's appends write it, so a data axis would make the
-            # replicas diverge (the reference's only operating mode is 8-way
-            # TP as well, Engine/tp.py:202-207)
-            if self.mesh.shape.get("data", 1) != 1:
-                raise NotImplementedError(
-                    "PagedServingEngine under a mesh requires data axis 1 "
-                    f"(got {self.mesh.shape['data']}): the shared page pool "
-                    "cannot shard or replicate over a batch axis")
+            if data > 1:
+                from magicdec_tpu.ops.shard import FlashShard
+                if not isinstance(self._backend_t, FlashShard):
+                    raise NotImplementedError(
+                        "paged serving with a data axis > 1 requires "
+                        "attn_backend='flash' (group-local page-table ids "
+                        "only resolve inside the shard_map'd kernels; the "
+                        "jnp GSPMD path sees global arrays)")
             sh = self._spec_state_shardings()
             pool_k = jax.device_put(pool_k, sh.k)
             pool_v = jax.device_put(pool_v, sh.v)
@@ -423,11 +437,20 @@ class PagedServingEngine(ServingEngine):
         buckets: Dict[int, list] = {}
         for slot, prompt, salt, trow in admissions:
             buckets.setdefault(len(prompt), []).append((slot, prompt, salt, trow))
+        data = self._pgeom[0]
         for plen, group in buckets.items():
             slots = jnp.asarray([g[0] for g in group], jnp.int32)
-            prompts = jnp.asarray(np.stack([np.asarray(g[1]) for g in group]),
-                                  jnp.int32)
-            salts = jnp.asarray([g[2] for g in group], jnp.int32)
+            prompts_np = [np.asarray(g[1]) for g in group]
+            salts_np = [g[2] for g in group]
+            # the admission encode's out_shardings batch-shard over data:
+            # pad the wave to a data-multiple (repeat the last prompt) and
+            # splice only the real rows — arbitrary bucket sizes otherwise
+            # cannot divide the data axis
+            pad = (-len(group)) % data
+            prompts_np += [prompts_np[-1]] * pad
+            salts_np += [salts_np[-1]] * pad
+            prompts = jnp.asarray(np.stack(prompts_np), jnp.int32)
+            salts = jnp.asarray(salts_np, jnp.int32)
             tables = jnp.asarray(np.stack([np.asarray(g[3]) for g in group]),
                                  jnp.int32)
             stk = self.encode(prompts, rng=sst.spec.rng, salt=salts)
@@ -438,17 +461,32 @@ class PagedServingEngine(ServingEngine):
             # per-slot capacity to HBM regardless of prompt length)
             reserve = self.ecfg.max_gen + self.ecfg.gamma + 2
             n_used = -(-(plen + reserve) // self.ecfg.page_size)
-            fn = self._admit_fn(sst.active.shape[0], len(group), n_used)
+            fn = self._admit_fn(sst.active.shape[0], len(group), n_used,
+                                self._pgeom)
             sst = fn(sst, stk, slots, tables)
         return sst
 
     @functools.lru_cache(maxsize=8)
-    def _admit_fn(self, B: int, k: int, n_used: int):
+    def _admit_fn(self, B: int, k: int, n_used: int, pgeom):
         ps = self.ecfg.page_size
         npr = self._npr
+        _, Bl, Pl = pgeom  # table entries are group-local (see init_serving)
 
         def admit(sst: ServingState, stk: SpecState, slots, tables):
             spec = sst.spec
+            if stk.token0.shape[0] != k:
+                # admit_many padded the encode batch to a data-multiple:
+                # splice only the k real rows
+                upd = {f: getattr(stk, f)[:, :k]
+                       for f in ("k", "v", "ks", "vs", "dk", "dv")
+                       if getattr(stk, f) is not None}
+                upd.update({f: getattr(stk, f)[:k]
+                            for f in ("target_lens", "draft_fill",
+                                      "draft_pos", "token0", "num_committed",
+                                      "output", "db_tokens", "db_update",
+                                      "salt")
+                            if getattr(stk, f) is not None})
+                stk = stk.replace(**upd)
 
             def to_pages(c):  # [L, k, S, Kc] -> [L, k*n_used, ps, Kc]
                 L, kk, S, Kc = c.shape
@@ -460,7 +498,10 @@ class PagedServingEngine(ServingEngine):
                 return (s.reshape(L, kk, H, npr, ps)[:, :, :, :n_used]
                         .transpose(0, 1, 3, 2, 4).reshape(L, kk * n_used, H, ps))
 
-            flat = tables[:, :n_used].reshape(-1)
+            # the pool scatter runs under plain jit on the GLOBAL pool:
+            # lift local ids to global with the slot's group offset
+            flat = (tables[:, :n_used]
+                    + ((slots // Bl) * Pl)[:, None]).reshape(-1)
             upd = dict(
                 k=spec.k.at[:, flat].set(to_pages(stk.k)),
                 v=spec.v.at[:, flat].set(to_pages(stk.v)),
@@ -507,23 +548,39 @@ class PagedServingEngine(ServingEngine):
                              f"request ({worst} pages)")
         sst = self.init_serving(B, max(len(p) for p in prompts), rng=rng,
                                 total_pages=n_pages)
-        sched = native.Scheduler(B)
-        alloc = native.PageAllocator(n_pages, ps, B, npr)
-        slot_pages: Dict[int, int] = {}
+        # One native Scheduler + PageAllocator PER data group: each group
+        # owns B_local slots and its own page partition (table entries are
+        # group-local — init_serving).  data == 1 is one group over
+        # everything, the original layout.
+        data, Bl, _Pl = self._pgeom
+        if n_pages % data:
+            raise ValueError(f"total_pages={n_pages} must divide by the "
+                             f"data axis {data}")
+        npg = n_pages // data
+        scheds = [native.Scheduler(Bl) for _ in range(data)]
+        allocs = [native.PageAllocator(npg, ps, Bl, npr) for _ in range(data)]
+        slot_pages: Dict[int, Tuple[int, int]] = {}  # slot -> (group, aslot)
         from collections import deque
         pending = deque(range(len(prompts)))
         t0 = time.perf_counter_ns()
         now_us = lambda: (time.perf_counter_ns() - t0) // 1000
-        for rid in range(len(prompts)):
-            sched.submit(rid, now_us())
+        # all requests arrive now; they are submitted to a group's scheduler
+        # at admission time with their ORIGINAL arrival stamp, so queue-time
+        # stats measure real waiting regardless of the grouping
+        arrivals = {rid: now_us() for rid in range(len(prompts))}
         results: Dict[int, np.ndarray] = {}
-        waves, admitted, admit_s, min_free = 0, 0, 0.0, alloc.free_pages()
+        waves, admitted, admit_s = 0, 0, 0.0
+        min_free = sum(a.free_pages() for a in allocs)
+        group_of = lambda slot: slot // Bl
 
-        def table_row(aslot: int, slot: int) -> np.ndarray:
-            pt, _, _ = alloc.tables()
+        def group_slots_free(g):
+            return Bl - sum(1 for s in slot_pages if group_of(s) == g)
+
+        def table_row(g: int, aslot: int, slot: int) -> np.ndarray:
+            pt, _, _ = allocs[g].tables()
             row = pt[aslot].copy()
-            row[row >= 0] += B            # pool pages 0..B-1 are scratch
-            row[row < 0] = slot           # unused tail -> scratch (never read)
+            row[row >= 0] += Bl          # local pages 0..Bl-1 are scratch
+            row[row < 0] = slot % Bl     # unused tail -> scratch (never read)
             return row.astype(np.int32)
 
         def refill(sst):
@@ -534,8 +591,9 @@ class PagedServingEngine(ServingEngine):
             drained = []
             for slot in range(B):
                 if active[slot] and done[slot]:
-                    rid = sched.complete(slot, now_us())
-                    alloc.release(slot_pages.pop(slot))
+                    g, aslot = slot_pages.pop(slot)
+                    rid = scheds[g].complete(slot % Bl, now_us())
+                    allocs[g].release(aslot)
                     if output is None:
                         output = np.asarray(sst.spec.output)
                         committed = np.asarray(sst.spec.num_committed)
@@ -543,7 +601,7 @@ class PagedServingEngine(ServingEngine):
                     drained.append(slot)
             if drained:
                 idx = jnp.asarray(drained, jnp.int32)
-                scratch = jnp.tile(idx[:, None], (1, npr))
+                scratch = jnp.tile((idx % Bl)[:, None], (1, npr))
                 sst = ServingState(
                     spec=sst.spec.replace(
                         table=sst.spec.table.at[idx].set(scratch)),
@@ -551,19 +609,28 @@ class PagedServingEngine(ServingEngine):
                     done=sst.done.at[idx].set(False))
             wave = []
             while pending:
-                need_len = len(prompts[pending[0]]) + reserve
-                if alloc.free_pages() < -(-need_len // ps):
+                rid = pending[0]
+                need_len = len(prompts[rid]) + reserve
+                need_pages = -(-need_len // ps)
+                # strict FCFS (head-blocking, like the single-group path):
+                # place the head request in the group with the most free
+                # pages that has a free slot, or stop refilling
+                cands = [g for g in range(data)
+                         if group_slots_free(g) > 0
+                         and allocs[g].free_pages() >= need_pages]
+                if not cands:
                     break
-                got = sched.assign(now_us(), max_n=1)
-                if not got:
-                    break
-                rid, slot = got[0]
-                assert rid == pending.popleft()
-                aslot = alloc.admit(need_len)
+                g = max(cands, key=lambda g: allocs[g].free_pages())
+                scheds[g].submit(rid, arrivals[rid])
+                got = scheds[g].assign(now_us(), max_n=1)
+                assert got and got[0][0] == rid
+                slot = g * Bl + got[0][1]
+                aslot = allocs[g].admit(need_len)
                 assert aslot >= 0
-                slot_pages[slot] = aslot
-                wave.append((slot, prompts[rid], rid, table_row(aslot, slot)))
-            min_free = min(min_free, alloc.free_pages())
+                slot_pages[slot] = (g, aslot)
+                pending.popleft()
+                wave.append((slot, prompts[rid], rid, table_row(g, aslot, slot)))
+            min_free = min(min_free, sum(a.free_pages() for a in allocs))
             if wave:
                 t = time.perf_counter()
                 sst = self.admit_many(sst, wave)
@@ -574,13 +641,17 @@ class PagedServingEngine(ServingEngine):
 
         sst = refill(sst)
         windows = self._windows_fn(B, windows_per_sync)
-        while any(sched.counts()[:2]):
+        while pending or slot_pages:
             sst = windows(self.params, self._draft_arg(), sst)
             sst = refill(sst)
-        mean_q_us, mean_s_us = sched.stats()
-        self.last_serve_stats = {"mean_queue_ms": mean_q_us / 1e3,
-                                 "mean_service_ms": mean_s_us / 1e3,
-                                 "served": sched.counts()[2],
+        served = sum(s.counts()[2] for s in scheds)
+        qs = [s.stats() for s in scheds]
+        ns = [s.counts()[2] for s in scheds]
+        wmean = lambda i: (sum(q[i] * n for q, n in zip(qs, ns))
+                           / max(sum(ns), 1))
+        self.last_serve_stats = {"mean_queue_ms": wmean(0) / 1e3,
+                                 "mean_service_ms": wmean(1) / 1e3,
+                                 "served": served,
                                  "admission_waves": waves,
                                  "mean_admissions_per_wave":
                                      admitted / max(waves, 1),

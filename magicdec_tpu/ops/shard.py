@@ -94,12 +94,12 @@ def attend_cache_paged_sharded(fs: FlashShard, q, caches, base_lens, *,
     """ops.attention._attend_cache_paged over sharded page POOLS.
 
     Pools [L, P, ps, Kc] shard their folded kv-head lane axis on the model
-    axes (each shard owns whole heads of EVERY page); the scale pools
-    [L, P, H, ps] shard the head axis; the page table [B, npr] and lengths
-    are replicated scalars per shard (scalar-prefetched by the kernels).
-    Paged serving under a mesh is tensor-parallel only (the pool is one
-    shared structure — a data axis would make replicas diverge at append
-    time), matching the reference's sole operating mode of 8-way TP
+    axes (each model shard owns whole heads) and their PAGE axis on data
+    (each data group owns its own slots' pages; page-table entries are
+    GROUP-LOCAL ids — see sharding.pool_pspec); the scale pools
+    [L, P, H, ps] shard likewise; the per-group page table [B_local, npr]
+    and lengths ride the data axis (scalar-prefetched by the kernels).
+    data=1 reproduces the reference's sole operating mode of 8-way TP
     (Engine/tp.py:202-207)."""
     from magicdec_tpu.ops import attention as attn_ops
 
@@ -107,8 +107,10 @@ def attend_cache_paged_sharded(fs: FlashShard, q, caches, base_lens, *,
     keys = ("k", "v", "ks", "vs", "table") if quant else ("k", "v", "table")
     sub = {s: caches[prefix + s] for s in keys}
     m, d = fs.m, fs.data
-    pool_spec = P(None, None, None, m)    # [L, P, ps, Kc or packed]
-    spool_spec = P(None, None, m, None)   # [L, P, Hkv, ps]
+    # the page axis shards over data (each data group owns its own slots'
+    # pages; table entries are group-local ids — see sharding.pool_pspec)
+    pool_spec = P(None, d, None, m)       # [L, P, ps, Kc or packed]
+    spool_spec = P(None, d, m, None)      # [L, P, Hkv, ps]
     sub_specs = {"k": pool_spec, "v": pool_spec, "table": P(d, None)}
     if quant:
         sub_specs.update(ks=spool_spec, vs=spool_spec)
@@ -136,14 +138,15 @@ def append_paged_rows_sharded(fs: FlashShard, pool_k, pool_v, rows_k, rows_v,
                               write_pos, table, scale_k=None, scale_v=None,
                               srows_k=None, srows_v=None):
     """ops.pallas.paged_attention.append_paged_rows_inplace per shard (each
-    shard RMWs its own heads of the target pages; the table is replicated)."""
+    shard RMWs its own heads of its own data group's pages; table entries
+    are group-local ids — see sharding.pool_pspec)."""
     from magicdec_tpu.ops import pallas as PL
     from magicdec_tpu.ops.pallas import paged_attention as PGA
 
     m, d = fs.m, fs.data
     quant = scale_k is not None
-    pspec = P(None, None, None, m)
-    sspec = P(None, None, m, None)
+    pspec = P(None, d, None, m)
+    sspec = P(None, d, m, None)
     rspec = P(None, d, None, m)           # rows [L, B, T, Kc]
     srspec = P(None, d, m, None)          # scale rows [L, B, Hkv, T]
     in_specs = (pspec, pspec, rspec, rspec, P(d), P(d, None))

@@ -96,9 +96,11 @@ def main():
 
     cfg = ModelConfig.from_name(args.model)
     params = make_params(cfg)
+    # the backend gates the DENSE fused kernels too (round 5) — set it
+    # unconditionally, like the engines running under bench.py defaults
+    from magicdec_tpu import quantization as Q
+    Q.set_matmul_backend(args.quant_backend)
     if args.quantize:
-        from magicdec_tpu import quantization as Q
-        Q.set_matmul_backend(args.quant_backend)
         params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
     # engines run the fused execution layout (one QKV dot, one gate/up dot);
     # profile the same program shape

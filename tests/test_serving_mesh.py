@@ -8,10 +8,11 @@ jit with serving-state shardings, the paged pool sharded on its kv-head lane
 axis with a replicated page table.
 
 Gate: every request served through the meshed engine reproduces its solo
-single-device run token-for-token.  Serving under a mesh is TP-only
-(data axis 1): admission waves have arbitrary bucket sizes that a batch
-axis cannot divide, and the paged pool is one shared structure whose
-replicas would diverge at append time.
+single-device run token-for-token.  The paged pool also runs on a full
+data x model mesh (round 5): the page axis shards over data — each data
+group owns its own slots' pages through group-local table ids and a
+per-group native allocator/scheduler pair — so appends stay group-local
+and nothing diverges.
 """
 
 import numpy as np
@@ -86,12 +87,30 @@ def test_paged_serving_mesh_int4_pool_matches_solo():
         np.testing.assert_array_equal(out, _solo(prompt, ecfg))
 
 
-def test_paged_serving_mesh_rejects_data_axis():
-    """The shared page pool cannot shard/replicate over a batch axis."""
-    ecfg = _ecfg(attn_backend="flash")
+@pytest.mark.parametrize("kv_quant", [False, "int8"])
+def test_paged_serving_data_model_mesh_matches_solo(kv_quant):
+    """Paged pool on a FULL data=2 x model=4 mesh (VERDICT r4 item 6): the
+    pool's page axis shards over data (each group owns its own slots' pages,
+    group-local table ids, per-group native allocators/schedulers) — served
+    == solo single-device, with page backpressure active per group."""
+    ecfg = _ecfg(kv_quant=kv_quant, attn_backend="flash")
+    prompts = _prompts([48, 96, 48, 96, 48], seed=17)
     mesh = S.make_mesh(data=2, model=4)
     engine = PagedServingEngine(PARAMS, CFG, ecfg, mesh=mesh)
-    with pytest.raises(NotImplementedError, match="data axis"):
+    outs = engine.serve(prompts, B=4, windows_per_sync=2, total_pages=12)
+    for prompt, out in zip(prompts, outs):
+        np.testing.assert_array_equal(out, _solo(prompt, ecfg))
+    assert engine.last_serve_stats["served"] == len(prompts)
+
+
+def test_paged_serving_data_axis_requires_flash():
+    """Group-local page-table ids only resolve inside shard_map'd kernels;
+    the jnp GSPMD paged path sees global arrays, so data > 1 demands the
+    flash backend."""
+    ecfg = _ecfg(attn_backend="jnp")
+    mesh = S.make_mesh(data=2, model=4)
+    engine = PagedServingEngine(PARAMS, CFG, ecfg, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="flash"):
         engine.init_serving(B=2, prefix=48)
 
 
