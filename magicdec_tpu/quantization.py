@@ -30,6 +30,21 @@ QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
 # inside jitted model code.
 _MATMUL_BACKEND = "jnp"
 
+# DENSE (bf16) fused kernels are OFF by default: measured on v5e (round 5,
+# 16-layer 1B-shape dense stack, end-to-end on-chip chains), XLA's dots run
+# at ~82% of HBM bandwidth (2.88 ms vs the 2.37 ms weight-stream floor at
+# M=160) while the pallas dense kernels reach only ~50% (4.60 ms) — the
+# round-4 "~2.6 ms dense-path overhead" hypothesis did not survive direct
+# measurement; the noctx gap lives in attend@len~0/append/embed/glue, not
+# the dense dots.  The kernels + dispatch stay for A/B (set_dense_kernels)
+# and as the template the QUANT path's measured wins are built on.
+_DENSE_KERNELS = False
+
+
+def set_dense_kernels(on: bool) -> None:
+    global _DENSE_KERNELS
+    _DENSE_KERNELS = bool(on)
+
 
 def set_matmul_backend(name: str) -> None:
     global _MATMUL_BACKEND
@@ -405,8 +420,8 @@ def dense_matmul(x: jnp.ndarray, w: jnp.ndarray, norm=None, residual=None,
     bit-identical (the golden spec == AR contract).  rows_hint == 0 (prefill,
     mesh engines, external callers) keeps the plain XLA dot.
     """
-    if (rows_hint and _MATMUL_BACKEND == "pallas" and w.ndim == 2
-            and not is_quantized(w)):
+    if (rows_hint and _DENSE_KERNELS and _MATMUL_BACKEND == "pallas"
+            and w.ndim == 2 and not is_quantized(w)):
         In, Out = w.shape
         lead = x.shape[:-1]
         M = 1
@@ -452,7 +467,7 @@ def dense_mlp(x: jnp.ndarray, w13: jnp.ndarray, w2: jnp.ndarray, norm,
     dense_matmul).  bf16 weight blocks are 2x the int8 ones, so the VMEM
     budget admits smaller F-blocks and smaller row counts than quant_mlp.
     """
-    if not rows_hint or _MATMUL_BACKEND != "pallas":
+    if not rows_hint or not _DENSE_KERNELS or _MATMUL_BACKEND != "pallas":
         return None
     if is_quantized(w13) or is_quantized(w2):
         return None

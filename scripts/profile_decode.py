@@ -88,6 +88,10 @@ def main():
     p.add_argument("--phases", default=None,
                    help="comma-separated subset of: baseline_step_ms,"
                         "draft_step_ms,verify_step_ms,noctx_step_ms,head_ms")
+    p.add_argument("--dense_kernels", action="store_true",
+                   help="A/B: engage the pallas DENSE fused kernels on the "
+                        "target path (measured SLOWER than XLA dots on v5e "
+                        "— quantization._DENSE_KERNELS rationale)")
     args = p.parse_args()
 
     from magicdec_tpu.config import ModelConfig
@@ -100,6 +104,8 @@ def main():
     # unconditionally, like the engines running under bench.py defaults
     from magicdec_tpu import quantization as Q
     Q.set_matmul_backend(args.quant_backend)
+    if args.dense_kernels:
+        Q.set_dense_kernels(True)
     if args.quantize:
         params = Q.quantize_params(params, bits=8 if args.quantize == "int8" else 4)
     # engines run the fused execution layout (one QKV dot, one gate/up dot);

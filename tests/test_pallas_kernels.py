@@ -272,6 +272,7 @@ class TestQuantMatmulKernel:
         small = big[:4]
         old = Q._MATMUL_BACKEND
         Q.set_matmul_backend("pallas")
+        Q.set_dense_kernels(True)
         try:
             for hint in (16, 600):  # 16 -> kernel engages; 600 -> jnp (both)
                 yb = Q.dense_matmul(big, w, norm=(nw, 1e-5), rows_hint=hint)
@@ -287,6 +288,7 @@ class TestQuantMatmulKernel:
                                               np.asarray(qs))
         finally:
             Q.set_matmul_backend(old)
+            Q.set_dense_kernels(False)
 
     def test_quant_layer_tail_matches_pair(self):
         """quant_layer_tail_pallas (wo + residual + FFN + residual in ONE

@@ -248,6 +248,8 @@ def test_target_pallas_backend_spec_equals_ar(quantize):
     params = make_params(cfg, dtype=jnp.float32)
     old = Q._MATMUL_BACKEND
     Q.set_matmul_backend("pallas")
+    Q.set_dense_kernels(True)  # off by default (slower than XLA on-chip);
+                               # the M-invariant routing contract still gates
     try:
         if quantize:
             params = Q.quantize_params(params, bits=8)
@@ -273,6 +275,7 @@ def test_target_pallas_backend_spec_equals_ar(quantize):
         _, bstats = eng.generate_baseline(bst, max_new=14)
     finally:
         Q.set_matmul_backend(old)
+        Q.set_dense_kernels(False)
     out = np.asarray(stats["output"])
     ref = np.asarray(bstats["output"])
     n = np.asarray(stats["num_committed"])
