@@ -239,6 +239,14 @@ def main():
                         "--iters DISTINCT prompt batches after the compile "
                         "batch, reported as the mean")
     p.add_argument("--prefill_chunk", type=int, default=512)
+    p.add_argument("--prefill_max_call", type=int, default=8192,
+                   help="split prefill into donated device calls of at most "
+                        "this many tokens (EngineConfig.prefill_max_call_"
+                        "tokens). Besides the long-context per-call execution "
+                        "limit, the split's donated parts cut peak HBM: the "
+                        "monolithic encode's transients (~2.3 GiB at B=96 "
+                        "8k) are what push the biggest-batch rows over the "
+                        "15.5 GiB ceiling. Split engages when prefix > this.")
     p.add_argument("--attn_backend", default="flash", choices=["jnp", "flash"])
     p.add_argument("--quantize", choices=["int8", "int4"], default=None)
     p.add_argument("--quant_backend", default="pallas", choices=["jnp", "pallas"])
@@ -303,6 +311,13 @@ def main():
 
         Q.set_matmul_backend(args.quant_backend)
         params = dict(params, embed=Q.quantize_embed(params["embed"]))
+    # pre-fuse ONCE here (idempotent in SpecEngine): the engine's
+    # fuse_exec_params would otherwise build concatenated wqkv/w13 copies
+    # while this driver still holds the separate originals for autotune
+    # rebuilds — ~1.3 GB of dead HBM at 1B bf16, the margin between fitting
+    # and OOM at the biggest-batch rows (CLAUDE.md driver-held-refs rule)
+    from magicdec_tpu.models.llama import fuse_exec_params
+    params = fuse_exec_params(params, cfg)
     prefix = args.prefix_len
     if args.mode == "snapkv":
         prefix = (prefix // 128) * 128 + 32  # reference shape contract
@@ -322,6 +337,7 @@ def main():
             max_seq_len=((prefix + args.max_gen + gamma_max + 2 + seq_round - 1)
                          // seq_round) * seq_round,
             chunk_size=128, prefill_chunk_size=args.prefill_chunk,
+            prefill_max_call_tokens=args.prefill_max_call,
             max_gen=args.max_gen, eot_ids=(-1,),
             cache_dtype=jnp.bfloat16, attn_backend=args.attn_backend,
             kv_quant=args.kv_quant or False,
