@@ -648,28 +648,27 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
             q, k, v = _attn_project(x, wl, cfg, cs, cs)
             out, rows = _target_attend(q, k, v, caches, l, base_lens,
                                        backend=backend)
-            # compression scores/gathers need this layer's dense KV including
-            # the window; the slice (+ dequant when quantized) is prefill-only
+            # compression scores/gathers need this layer's KV including the
+            # window; the slice is prefill-only.  Quantized caches stay
+            # quantized here — snapkv_compress dequantizes PER REQUEST
+            # inside its batch scan (a whole-batch dense dequant is a
+            # 2+ GiB transient at 32k/B=32, the round-5 OOM; values are
+            # bit-identical either way)
             kc = jax.lax.dynamic_index_in_dim(caches["k"], l, 0, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(caches["v"], l, 0, keepdims=False)
+            kc = attn_ops._dus_rows(kc, rows["k"], base_lens)
+            vc = attn_ops._dus_rows(vc, rows["v"], base_lens)
+            ks = vs = None
             if "ks" in caches:
                 ks = jax.lax.dynamic_index_in_dim(caches["ks"], l, 0, keepdims=False)
                 vs = jax.lax.dynamic_index_in_dim(caches["vs"], l, 0, keepdims=False)
                 ks = attn_ops._dus_scale_rows(ks, rows["ks"], base_lens)
                 vs = attn_ops._dus_scale_rows(vs, rows["vs"], base_lens)
-                kc = kv_ops.dequant_kv(
-                    attn_ops._dus_rows(kc, rows["k"], base_lens), ks,
-                    cfg.head_dim, q.dtype)
-                vc = kv_ops.dequant_kv(
-                    attn_ops._dus_rows(vc, rows["v"], base_lens), vs,
-                    cfg.head_dim, q.dtype)
-            else:
-                kc = attn_ops._dus_rows(kc, rows["k"], base_lens)
-                vc = attn_ops._dus_rows(vc, rows["v"], base_lens)
             q_win = q[:, -window:]
             dk_new, dv_new = snapkv_compress(
                 q_win, kc, vc, ctx_len=ctx_len, window=window, budget=budget,
-                kernel_size=kernel_size, pooling=pooling)
+                kernel_size=kernel_size, pooling=pooling,
+                k_scale=ks, v_scale=vs)
             Bq = q_win.shape[0]
             drows = {"dk": dk_new.reshape(Bq, budget, -1).astype(caches["dk"].dtype),
                      "dv": dv_new.reshape(Bq, budget, -1).astype(caches["dv"].dtype)}

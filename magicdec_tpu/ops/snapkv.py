@@ -36,25 +36,42 @@ def _avg_pool_1d(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
 
 def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                     *, ctx_len: int, window: int, budget: int,
-                    kernel_size: int = 5, pooling: str = "avgpool"):
+                    kernel_size: int = 5, pooling: str = "avgpool",
+                    k_scale=None, v_scale=None):
     """Select the compressed draft KV set.
 
     q_win:   [B, W, Hq, hd] roped queries of the last `window` prefill tokens
              (global positions ctx_len-W .. ctx_len-1).
     k_cache/v_cache: [B, S, Hkv*hd] with the first ctx_len slots filled
-             (folded-head layout, ops.kv_cache).
+             (folded-head layout, ops.kv_cache) — OR the QUANTIZED cache
+             (int8, or int4 head-pair-packed) when ``k_scale``/``v_scale``
+             [B, Hkv, S] are given: the dequant then happens per request
+             inside the batch scan, so the dense-cache transient is one
+             request's [ctx, Hkv, hd] (~70 MB at 32k) instead of the whole
+             batch's (2+ GiB at 32k/B=32 — the round-5 OOM that blocked the
+             32k snapkv rows).  Values are bit-identical either way (dequant
+             commutes with the per-request slice).
     Returns (dk_new, dv_new): [B, budget, Hkv, hd] (head-minor, ready to fold
     back into a draft cache).
     """
+    from magicdec_tpu.ops import kv_cache as kv_ops
+
     B, W, Hq, hd = q_win.shape
-    Hkv = k_cache.shape[2] // hd
+    quant = k_scale is not None
+    Hkv = k_scale.shape[1] if quant else k_cache.shape[2] // hd
     G = Hq // Hkv
     topk = budget - window
     assert W == window, (W, window)
     assert ctx_len - window >= topk, "prefix too short for draft budget"
 
-    keys = k_cache[:, :ctx_len].reshape(B, ctx_len, Hkv, hd)
-    vals = v_cache[:, :ctx_len].reshape(B, ctx_len, Hkv, hd)
+    if quant:
+        keys = k_cache[:, :ctx_len]            # quantized [B, ctx, lanes]
+        vals = v_cache[:, :ctx_len]
+        kss = k_scale[:, :, :ctx_len]          # [B, Hkv, ctx]
+        vss = v_scale[:, :, :ctx_len]
+    else:
+        keys = k_cache[:, :ctx_len].reshape(B, ctx_len, Hkv, hd)
+        vals = v_cache[:, :ctx_len].reshape(B, ctx_len, Hkv, hd)
 
     # causal mask for the window block: query i (global ctx-W+i) must not see
     # key j >= ctx-W+i+1
@@ -62,8 +79,13 @@ def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
     row = jax.lax.broadcasted_iota(jnp.int32, (W, ctx_len), 0)
     visible = col <= (ctx_len - W) + row  # [W, ctx]
 
-    def one_request(qb, kb, vb):
-        # qb [W, Hq, hd]; kb/vb [ctx, Hkv, hd]
+    def one_request(qb, kb, vb, ksb=None, vsb=None):
+        # qb [W, Hq, hd]; kb/vb [ctx, Hkv, hd] (dense) or quantized + scales
+        if ksb is not None:
+            kb = kv_ops.dequant_kv(kb[None], ksb[None], hd,
+                                   q_win.dtype)[0].reshape(ctx_len, Hkv, hd)
+            vb = kv_ops.dequant_kv(vb[None], vsb[None], hd,
+                                   q_win.dtype)[0].reshape(ctx_len, Hkv, hd)
         qg = qb.reshape(W, Hkv, G, hd).transpose(1, 2, 0, 3)  # [Hkv, G, W, hd]
         scores = jnp.einsum("kgwd,skd->kgws", qg.astype(jnp.float32),
                             kb.astype(jnp.float32))
@@ -92,7 +114,9 @@ def snapkv_compress(q_win: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarr
         raise ValueError(pooling)
 
     # scan over batch to bound the [G, W, ctx] fp32 score tensor's footprint
+    # — and, on the quantized path, the per-request dense-cache dequant
     # (the reference chunks query rows for the same reason, model.py:406-418)
+    xs = (q_win, keys, vals, kss, vss) if quant else (q_win, keys, vals)
     _, (dk_new, dv_new) = jax.lax.scan(
-        lambda _, xs: (None, one_request(*xs)), None, (q_win, keys, vals))
+        lambda _, xs: (None, one_request(*xs)), None, xs)
     return dk_new, dv_new
