@@ -658,8 +658,12 @@ class SpecEngine:
     def _encode_split_snapkv(self, tokens, rng, salt, part: int) -> SpecState:
         """Split snapkv self-spec prefill: the pre-window prefix runs as
         bounded donated target-prefill calls (_baseline_part_fn — identical
-        chunk boundaries to the monolithic encode), the observation-window
-        chunk + draft-KV compression + head ride the tail call."""
+        chunk boundaries to the monolithic encode); the observation-window
+        chunk + head ride one bounded tail call that COLLECTS the per-layer
+        window queries; the draft-KV compression then runs as per-layer
+        bounded calls (at 32k/B=32 the compress score traffic is ~14 GB per
+        layer — all layers in one call executes for minutes and hard-crashes
+        the remote worker, the round-3 per-call limit)."""
         B, prefix = tokens.shape
         e = self.ecfg
         caches = self._zero_target_caches(B)
@@ -678,14 +682,38 @@ class SpecEngine:
         if rem:
             state = list(self._baseline_part_fn(B, rem)(
                 self.params, tokens[:, n_parts * part:pre], *state))
-        return self._snapkv_tail_fn(B, prefix)(
+        st, qs = self._snapkv_window_fn(B, prefix)(
             self.params, tokens[:, pre:], rng, salt, *state)
+        return self._snapkv_compress_split(st, qs, prefix, self.cfg,
+                                           quant=quant)
+
+    def _snapkv_compress_split(self, st, qs, prefix: int, mcfg,
+                               *, quant: bool, caches=None) -> SpecState:
+        """Per-layer bounded compression calls over the appended cache (see
+        _encode_split_snapkv), filling st.dk/st.dv slots [0, budget)."""
+        comp = self._snapkv_layer_compress_fn(
+            st.token0.shape[0], prefix, mcfg, quant)
+        src = caches if caches is not None else self._state_tcaches(st)
+        dks, dvs = [], []
+        L = mcfg.n_layer
+        for l in range(L):
+            args = [qs[l], src["k"][l], src["v"][l]]
+            args += [src["ks"][l], src["vs"][l]] if quant else [None, None]
+            dk_l, dv_l = comp(*args)
+            dks.append(dk_l)
+            dvs.append(dv_l)
+        dk_new = jnp.stack(dks)
+        dv_new = jnp.stack(dvs)
+        fill = self._snapkv_fill_draft_fn()
+        dk, dv = fill(st.dk, st.dv, dk_new, dv_new)
+        return st.replace(dk=dk, dv=dv)
 
     @functools.lru_cache(maxsize=8)
-    def _snapkv_tail_fn(self, B: int, prefix: int):
-        """Observation-window chunk (target append + attention + draft-KV
-        build, forward_prefill_snapkv_last) + head token + fresh SpecState —
-        the bounded tail of the split snapkv encode."""
+    def _snapkv_window_fn(self, B: int, prefix: int):
+        """Observation-window chunk (target forward + append + per-layer
+        window-query collection) + head token + fresh SpecState with
+        still-empty draft slots — the bounded tail of the split snapkv
+        encode (compression follows per layer)."""
         e, cfg = self.ecfg, self.cfg
         quant = bool(e.kv_quant)
 
@@ -696,24 +724,55 @@ class SpecEngine:
             else:
                 k, v, lens, _x_last = state
                 caches = {"k": k, "v": v}
+            x, caches, qs = M.forward_prefill_snapkv_window(
+                params, cfg, wtoks, lens, caches, backend=self._backend_t)
             dt = e.cache_dtype
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap,
                                              self._draft_cfg()), dt)
             caches = {**caches, "dk": dk, "dv": jnp.zeros_like(dk)}
-            x, caches = M.forward_prefill_snapkv_last(
-                params, cfg, wtoks, lens, caches,
-                ctx_len=prefix, window=e.window_size, budget=e.draft_budget,
-                kernel_size=e.kernel_size, pooling=e.pooling,
-                backend=self._backend_t, head="none")
             lens = lens + e.window_size
             token0 = self._head_token(params, x[:, -1], rng, salt)
-            return self._fresh_state(
+            st = self._fresh_state(
                 caches, lens, token0,
                 draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
                 draft_pos=lens, rng=rng, salt=salt)
+            return st, qs
 
         n_cache = 4 if quant else 2
         return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_cache)))
+
+    @functools.lru_cache(maxsize=8)
+    def _snapkv_layer_compress_fn(self, B: int, prefix: int, mcfg,
+                                  quant: bool):
+        """ONE layer's snapkv compression as its own jitted call (reused for
+        every layer — identical shapes).  q_l [B, W, Hq*hd]; kc/vc the
+        layer's cache slice (quantized or dense); returns the layer's
+        (dk, dv) [B, budget, Kc] draft rows."""
+        from magicdec_tpu.ops.snapkv import snapkv_compress
+
+        e = self.ecfg
+        dt = e.cache_dtype
+
+        def comp(q_l, kc, vc, ks, vs):
+            q = q_l.reshape(B, e.window_size, mcfg.n_head, mcfg.head_dim)
+            dk, dv = snapkv_compress(
+                q, kc, vc, ctx_len=prefix, window=e.window_size,
+                budget=e.draft_budget, kernel_size=e.kernel_size,
+                pooling=e.pooling, k_scale=ks, v_scale=vs)
+            return (dk.reshape(B, e.draft_budget, -1).astype(dt),
+                    dv.reshape(B, e.draft_budget, -1).astype(dt))
+
+        return jax.jit(comp)
+
+    @functools.lru_cache(maxsize=4)
+    def _snapkv_fill_draft_fn(self):
+        budget = self.ecfg.draft_budget
+
+        def fill(dk, dv, dk_new, dv_new):
+            return (dk.at[:, :, :budget].set(dk_new),
+                    dv.at[:, :, :budget].set(dv_new))
+
+        return jax.jit(fill, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     # speculative generation (one jitted while_loop)
@@ -1292,9 +1351,12 @@ class LongSpecEngine(SpecEngine):
                 B, drem, which="draft", quant=False)(
                     self.draft_params, tokens[:, dn * part:pre], *dstate))
         fk, fv, flens = dstate[0], dstate[1], dstate[2]
-        return self._longspec_tail_fn(B, prefix, "snapkv")(
+        st, qs, fk2, fv2 = self._longspec_tail_fn(B, prefix, "snapkv")(
             self.params, rng, salt, tokens[:, pre:], self.draft_params,
             *tstate, fk, fv, flens)
+        return self._snapkv_compress_split(st, qs, prefix, self.draft_cfg,
+                                           quant=False,
+                                           caches={"k": fk2, "v": fv2})
 
     @functools.lru_cache(maxsize=16)
     def _stream_draft_part_fn(self, B: int, T: int):
@@ -1372,28 +1434,29 @@ class LongSpecEngine(SpecEngine):
             return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_t))
                            + (6 + n_t, 7 + n_t))
 
-        # snapkv: window compress over the draft's temp full cache
+        # snapkv: window forward on the draft's temp full cache (collect
+        # per-layer window queries); the compression itself runs afterwards
+        # as per-layer bounded calls (_snapkv_compress_split — one call per
+        # layer keeps every device call's execution bounded at big ctx)
         def tail(params, rng, salt, wtoks, draft_params, *state):
             caches, lens, x_last, rest = unpack_t(state)
             fk, fv, flens = rest
             token0 = self._head_token(params, x_last, rng, salt)
+            _, full, qs = M.forward_prefill_snapkv_window(
+                draft_params, dcfg, wtoks, flens, {"k": fk, "v": fv},
+                backend=self._backend_d)
             dt = e.cache_dtype
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
-            full = {"k": fk, "v": fv, "dk": dk, "dv": jnp.zeros_like(dk)}
-            _, full = M.forward_prefill_snapkv_last(
-                draft_params, dcfg, wtoks, flens, full, ctx_len=prefix,
-                window=e.window_size, budget=e.draft_budget,
-                kernel_size=e.kernel_size, pooling=e.pooling,
-                backend=self._backend_d)
-            caches = {**caches, "dk": full["dk"], "dv": full["dv"]}
-            return self._fresh_state(
+            caches = {**caches, "dk": dk, "dv": jnp.zeros_like(dk)}
+            st = self._fresh_state(
                 caches, lens, token0,
                 draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
                 draft_pos=lens, rng=rng, salt=salt)
-        # donate the target cache arrays only: the temp fk/fv are read-only
-        # here (no same-shaped output to alias into — donating them just
-        # warns); their buffers free when the caller's locals drop
-        return jax.jit(tail, donate_argnums=tuple(range(5, 5 + n_t)))
+            return st, qs, full["k"], full["v"]
+        # donate the target cache arrays AND the temp fk/fv (the appended
+        # temps are outputs here, so donation aliases them)
+        return jax.jit(tail, donate_argnums=tuple(range(5, 5 + n_t))
+                       + (7 + n_t, 8 + n_t))
 
     def _draft_model(self, params):
         return self.draft_params, self.draft_cfg

@@ -686,6 +686,40 @@ def forward_prefill_snapkv_last(params: Params, cfg: ModelConfig,
                            sample=sample, finalize=finalize)
 
 
+def forward_prefill_snapkv_window(params: Params, cfg: ModelConfig,
+                                  tokens: jnp.ndarray, base_lens: jnp.ndarray,
+                                  caches: Caches, *, backend: str = "jnp"):
+    """The snapkv observation-window chunk WITHOUT the compression: target
+    forward + append, collecting each layer's roped window queries.
+
+    Returns (x [B, W, D] final hidden states, caches with the window
+    appended, qs [L, B, W, Hq*hd]).  The split snapkv encode runs the
+    compression afterwards as per-layer bounded device calls
+    (engine._snapkv_layer_compress_fn): at 32k/B=32 the compress traffic is
+    ~14 GB PER LAYER (the [Hkv, G, W, ctx] score tensors), so one call
+    doing all layers x requests executes for minutes and hard-crashes the
+    remote worker (the round-3 per-call execution limit).  Values are
+    bit-identical to forward_prefill_snapkv_last: the compression there
+    reads exactly these queries and the post-append cache content.
+    """
+    T = tokens.shape[1]
+    pos = base_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    inv_freq = rope_inv_freq(cfg)
+    x = embed_lookup(params, tokens)
+    cs = rope_cos_sin(pos, inv_freq)
+
+    def hook(xh, wl, caches, l):
+        q, k, v = _attn_project(xh, wl, cfg, cs, cs)
+        out, rows = _target_attend(q, k, v, caches, l, base_lens,
+                                   backend=backend)
+        B, W = q.shape[:2]
+        return out, caches, {"t": rows, "q": q.reshape(B, W, -1)}
+
+    x, caches, rows = scan_layers(params, cfg, x, caches, hook)
+    caches = _append_rows(caches, rows["t"], base_lens, backend=backend)
+    return x, caches, rows["q"]
+
+
 def forward_streaming_draft_chunk(params: Params, cfg: ModelConfig,
                                   tokens: jnp.ndarray, fill: jnp.ndarray,
                                   caches: Caches, *, budget: int, sink: int):
