@@ -998,7 +998,10 @@ class SpecEngine:
         part = 0
         if e.prefill_max_call_tokens and self.mesh is None:
             part = (e.prefill_max_call_tokens // C) * C
-        if part and prefix % C == 0 and prefix > part:
+        # ragged prefixes (e.g. snapkv's k*128+window) split too: the final
+        # remainder part runs its full chunks + sub-chunk tail inside one
+        # bounded call (_baseline_part_fn), same boundaries as monolithic
+        if part and prefix > part:
             return self._encode_baseline_split(
                 jnp.asarray(input_ids, jnp.int32), rng, salt, part)
         fn = self._encode_baseline_fn(B, prefix)

@@ -242,3 +242,13 @@ def test_split_prefill_snapkv_matches_monolithic():
         st_s, stats_s = e_split.generate(st_s)
         np.testing.assert_array_equal(np.asarray(stats_m["output"]),
                                       np.asarray(stats_s["output"]))
+
+        # baseline split with a RAGGED prefix (104 = 2*48 + 8: snapkv-style
+        # k*chunk + window shapes must split too — the final remainder part
+        # absorbs the sub-chunk tail in one bounded call)
+        bm = e_mono.encode_baseline(prompt)
+        bs = e_split.encode_baseline(prompt)
+        np.testing.assert_array_equal(np.asarray(bm.token0),
+                                      np.asarray(bs.token0))
+        np.testing.assert_array_equal(np.asarray(bm.k, np.float32),
+                                      np.asarray(bs.k, np.float32))
