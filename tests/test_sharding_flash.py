@@ -156,3 +156,27 @@ def test_mesh_int4_kv_quant_sharded_matches_single_device():
     tp_stats = _run(tp, prompt)
     np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
                                   np.asarray(tp_stats["output"]))
+
+
+def test_mesh_flash_padded_kv_heads_matches_single_device():
+    """pad_heads_for_tp under the FLASH shard_map path: n_kv_head=2 on a
+    4-way model axis pads to 4 zero-contribution heads — each shard then
+    runs the flash kernels on exactly one (possibly all-padded) local head;
+    outputs must equal the single-device flash run bit-for-bit."""
+    pcfg = tiny_config(vocab_size=128, n_layer=2, n_head=8, n_kv_head=2,
+                       dim=64, intermediate_size=128)
+    pparams = _random_params(pcfg, seed=11)
+    ecfg = _ecfg("streamingllm", attn_backend="flash")
+    prompt = _prompt(4, 48, seed=13)
+
+    ref_engine = SpecEngine(pparams, pcfg, ecfg)
+    st = ref_engine.encode(prompt)
+    _, ref_stats = ref_engine.generate(st)
+
+    mesh = S.make_mesh(data=2, model=4)
+    tp_engine = SpecEngine(pparams, pcfg, ecfg, mesh=mesh)
+    assert tp_engine.cfg.n_kv_head == 4
+    st = tp_engine.encode(prompt)
+    _, tp_stats = tp_engine.generate(st)
+    np.testing.assert_array_equal(np.asarray(ref_stats["output"]),
+                                  np.asarray(tp_stats["output"]))
