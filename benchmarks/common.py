@@ -43,6 +43,10 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["int8", "int4"],
                    help="quantized target KV cache (int8 halves, int4 "
                         "quarters decode HBM traffic)")
+    p.add_argument("--draft_head", default="quant", choices=["quant", "shared"],
+                   help="shared: a quantized draft-pass copy reuses the "
+                        "target's lm_head buffer (no quantized head copy "
+                        "materialized) — saves ~0.3-0.5 GB")
     p.add_argument("--draft_quant", nargs="?", const="int8", default=None,
                    choices=["int8", "int4"],
                    help="quantize the DRAFT pass's weights (self-spec: a "

@@ -120,7 +120,8 @@ def main():
                         kv_quant=args.kv_quant or False,
                         kv_scale_dtype=(jnp.bfloat16 if args.kv_scale == "bf16"
                                         else jnp.float32),
-                        draft_quant=args.draft_quant or False)
+                        draft_quant=args.draft_quant or False,
+                        draft_quant_head=args.draft_head == "quant")
     engine = LongSpecEngine(params, cfg, dparams, dcfg, ecfg, mesh=mesh)
     # the engine holds (possibly re-fused/quantized) copies; dropping the
     # driver's refs lets the original leaves free — at 8B the driver-held

@@ -46,13 +46,15 @@ _ALPHA_16K = ["--model", "llama-3.1-8b", "--draft_model", "llama-3.2-1b",
               "--quantize", "int4", "--kv_quant", "int4",
               "--draft_quant", "int8", "--mode", "snapkv", "--B", "8",
               "--prefix_len", "16416", "--max_len", "18432", "--gamma", "3",
-              "--kv_scale", "bf16", "--num_batches", "2",
+              "--kv_scale", "bf16", "--quantize_embed", "--draft_head",
+              "shared", "--num_batches", "2",
               "--warmup_batches", "1", "--baseline"]
 _ALPHA_32K = ["--model", "llama-3.1-8b", "--draft_model", "llama-3.2-1b",
               "--quantize", "int4", "--kv_quant", "int4",
               "--draft_quant", "int8", "--B", "4",
               "--prefix_len", "32768", "--max_len", "34816", "--gamma", "4",
-              "--kv_scale", "bf16", "--num_batches", "2",
+              "--kv_scale", "bf16", "--quantize_embed", "--draft_head",
+              "shared", "--num_batches", "2",
               "--warmup_batches", "1", "--baseline"]
 # alpha-sensitivity sweep (VERDICT r4 item 5): 3 target_residual points per
 # shape bracketing measured alpha ~0.55 (conservative default) -> ~0.80 (the

@@ -1287,28 +1287,52 @@ class LongSpecEngine(SpecEngine):
         e = self.ecfg
         assert prefix + e.max_gen + e.gamma + 2 <= e.max_seq_len, \
             "max_seq_len too small for prefix + generation"
-        # phase 1: TARGET parts over the full prefix (ragged tail handled
-        # inside _baseline_part_fn — same chunk boundaries as monolithic)
-        caches = self._zero_target_caches(B)
-        quant = caches.get("ks") is not None
-        tstate = [caches["k"], caches["v"]]
-        if quant:
-            tstate += [caches["ks"], caches["vs"]]
-        tstate += [jnp.zeros((B,), jnp.int32),
-                   jnp.zeros((B, self.cfg.dim),
-                             self.params["final_norm"].dtype)]
-        n_parts, rem = divmod(prefix, part)
-        fn = self._baseline_part_fn(B, part)
-        for i in range(n_parts):
-            tstate = list(fn(self.params, tokens[:, i * part:(i + 1) * part],
-                             *tstate))
-        if rem:
-            tstate = list(self._baseline_part_fn(B, rem)(
-                self.params, tokens[:, n_parts * part:], *tstate))
-
-        # phase 2: DRAFT parts per draft-cache mode
         dcfg, dt = self.draft_cfg, e.cache_dtype
         C = e.chunk_size
+        if e.mode == "snapkv":
+            # DRAFT phase FIRST: its temp full cache (bf16, ~ctx rows) is
+            # this encode's single biggest buffer — compress and free it
+            # BEFORE the target cache exists, or the two coexist and blow
+            # the HBM ceiling (measured at 8B+1B 16k/B=8: the monolithic
+            # program interleaves the lifetimes, a split must do it by
+            # ordering).  Same computations, bit-identical results.
+            pre = prefix - e.window_size
+            d_xdt0 = self.draft_params["final_norm"].dtype
+            fk = jnp.zeros(self._cache_shape(B, _round_up(prefix, C), dcfg),
+                           dt)
+            dstate = [fk, jnp.zeros_like(fk), jnp.zeros((B,), jnp.int32),
+                      jnp.zeros((B, dcfg.dim), d_xdt0)]
+            dn, drem = divmod(pre, part)
+            dfn = self._baseline_part_fn(B, part, which="draft", quant=False)
+            for i in range(dn):
+                dstate = list(dfn(self.draft_params,
+                                  tokens[:, i * part:(i + 1) * part],
+                                  *dstate))
+            if drem:
+                dstate = list(self._baseline_part_fn(
+                    B, drem, which="draft", quant=False)(
+                        self.draft_params, tokens[:, dn * part:pre], *dstate))
+            fk, fv, flens = dstate[0], dstate[1], dstate[2]
+            dstate = None
+            qs, fk, fv = self._longspec_snapkv_window_fn(B)(
+                self.draft_params, tokens[:, pre:], flens, fk, fv)
+            comp = self._snapkv_layer_compress_fn(B, prefix, dcfg, False)
+            dks, dvs = [], []
+            for l in range(dcfg.n_layer):
+                dk_l, dv_l = comp(qs[l], fk[l], fv[l], None, None)
+                dks.append(dk_l)
+                dvs.append(dv_l)
+            dk_new, dv_new = jnp.stack(dks), jnp.stack(dvs)
+            fk = fv = qs = None  # free the temp cache before target phase
+            tstate = self._longspec_target_parts(tokens, part)
+            return self._longspec_tail_fn(B, prefix, "snapkv")(
+                self.params, rng, salt, dk_new, dv_new, *tstate)
+        # phase 1: TARGET parts over the full prefix (ragged tail handled
+        # inside _baseline_part_fn — same chunk boundaries as monolithic)
+        tstate = self._longspec_target_parts(tokens, part)
+
+        # phase 2: DRAFT parts per draft-cache mode
+        n_parts, rem = divmod(prefix, part)
         d_xdt = self.draft_params["final_norm"].dtype
         if e.mode == "full":
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
@@ -1338,28 +1362,44 @@ class LongSpecEngine(SpecEngine):
             dk, dv, fill = dstate
             return self._longspec_tail_fn(B, prefix, "streamingllm")(
                 self.params, rng, salt, fill, *tstate, dk, dv)
-        # mode == "snapkv": draft prefills its TEMP full cache over the
-        # pre-window prefix in parts; the tail runs the window compress
-        pre = prefix - e.window_size
-        fk = jnp.zeros(self._cache_shape(B, _round_up(prefix, C), dcfg), dt)
-        dstate = [fk, jnp.zeros_like(fk), jnp.zeros((B,), jnp.int32),
-                  jnp.zeros((B, dcfg.dim), d_xdt)]
-        dn, drem = divmod(pre, part)
-        dfn = self._baseline_part_fn(B, part, which="draft", quant=False)
-        for i in range(dn):
-            dstate = list(dfn(self.draft_params,
-                              tokens[:, i * part:(i + 1) * part], *dstate))
-        if drem:
-            dstate = list(self._baseline_part_fn(
-                B, drem, which="draft", quant=False)(
-                    self.draft_params, tokens[:, dn * part:pre], *dstate))
-        fk, fv, flens = dstate[0], dstate[1], dstate[2]
-        st, qs, fk2, fv2 = self._longspec_tail_fn(B, prefix, "snapkv")(
-            self.params, rng, salt, tokens[:, pre:], self.draft_params,
-            *tstate, fk, fv, flens)
-        return self._snapkv_compress_split(st, qs, prefix, self.draft_cfg,
-                                           quant=False,
-                                           caches={"k": fk2, "v": fv2})
+        raise AssertionError(e.mode)  # snapkv handled above (draft first)
+
+    def _longspec_target_parts(self, tokens, part: int):
+        """Bounded donated TARGET prefill parts over the full prefix; returns
+        the running state list (caches..., lens, x_last)."""
+        B, prefix = tokens.shape
+        caches = self._zero_target_caches(B)
+        quant = caches.get("ks") is not None
+        tstate = [caches["k"], caches["v"]]
+        if quant:
+            tstate += [caches["ks"], caches["vs"]]
+        tstate += [jnp.zeros((B,), jnp.int32),
+                   jnp.zeros((B, self.cfg.dim),
+                             self.params["final_norm"].dtype)]
+        n_parts, rem = divmod(prefix, part)
+        fn = self._baseline_part_fn(B, part)
+        for i in range(n_parts):
+            tstate = list(fn(self.params, tokens[:, i * part:(i + 1) * part],
+                             *tstate))
+        if rem:
+            tstate = list(self._baseline_part_fn(B, rem)(
+                self.params, tokens[:, n_parts * part:], *tstate))
+        return tstate
+
+    @functools.lru_cache(maxsize=8)
+    def _longspec_snapkv_window_fn(self, B: int):
+        """Draft observation-window chunk on the TEMP full cache: forward +
+        append + per-layer window-query collection (no state assembly —
+        compression and the target phase follow)."""
+        dcfg = self.draft_cfg
+
+        def win(draft_params, wtoks, flens, fk, fv):
+            _, full, qs = M.forward_prefill_snapkv_window(
+                draft_params, dcfg, wtoks, flens, {"k": fk, "v": fv},
+                backend=self._backend_d)
+            return qs, full["k"], full["v"]
+
+        return jax.jit(win, donate_argnums=(3, 4))
 
     @functools.lru_cache(maxsize=16)
     def _stream_draft_part_fn(self, B: int, T: int):
@@ -1437,29 +1477,26 @@ class LongSpecEngine(SpecEngine):
             return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_t))
                            + (6 + n_t, 7 + n_t))
 
-        # snapkv: window forward on the draft's temp full cache (collect
-        # per-layer window queries); the compression itself runs afterwards
-        # as per-layer bounded calls (_snapkv_compress_split — one call per
-        # layer keeps every device call's execution bounded at big ctx)
-        def tail(params, rng, salt, wtoks, draft_params, *state):
+        # snapkv: the draft's compressed rows (dk_new/dv_new [L, B, budget,
+        # Kc], built by the draft-first phase) land in fresh draft buffers;
+        # head token + state assembly
+        def tail(params, rng, salt, dk_new, dv_new, *state):
             caches, lens, x_last, rest = unpack_t(state)
-            fk, fv, flens = rest
+            assert not rest
             token0 = self._head_token(params, x_last, rng, salt)
-            _, full, qs = M.forward_prefill_snapkv_window(
-                draft_params, dcfg, wtoks, flens, {"k": fk, "v": fv},
-                backend=self._backend_d)
             dt = e.cache_dtype
             dk = jnp.zeros(self._cache_shape(B, self._draft_cap, dcfg), dt)
-            caches = {**caches, "dk": dk, "dv": jnp.zeros_like(dk)}
-            st = self._fresh_state(
+            dv = jnp.zeros_like(dk)
+            budget = e.draft_budget
+            caches = {**caches,
+                      "dk": dk.at[:, :, :budget].set(dk_new),
+                      "dv": dv.at[:, :, :budget].set(dv_new)}
+            return self._fresh_state(
                 caches, lens, token0,
-                draft_fill=jnp.full((B,), e.draft_budget, jnp.int32),
+                draft_fill=jnp.full((B,), budget, jnp.int32),
                 draft_pos=lens, rng=rng, salt=salt)
-            return st, qs, full["k"], full["v"]
-        # donate the target cache arrays AND the temp fk/fv (the appended
-        # temps are outputs here, so donation aliases them)
-        return jax.jit(tail, donate_argnums=tuple(range(5, 5 + n_t))
-                       + (7 + n_t, 8 + n_t))
+        # donate the target cache arrays (after dk_new/dv_new at 3, 4)
+        return jax.jit(tail, donate_argnums=tuple(range(5, 5 + n_t)))
 
     def _draft_model(self, params):
         return self.draft_params, self.draft_cfg
