@@ -43,6 +43,7 @@ SMOKE = [("smoke", ["--platform", "cpu", "--model", "llama-68m", "--B", "2",
 
 LONGSPEC = os.path.join(HERE, "longspec_benchmark.py")
 _ALPHA_16K = ["--model", "llama-3.1-8b", "--draft_model", "llama-3.2-1b",
+              "--attn_backend", "flash",
               "--quantize", "int4", "--kv_quant", "int4",
               "--draft_quant", "int8", "--mode", "snapkv", "--B", "8",
               "--prefix_len", "16416", "--max_len", "18432", "--gamma", "3",
@@ -50,6 +51,7 @@ _ALPHA_16K = ["--model", "llama-3.1-8b", "--draft_model", "llama-3.2-1b",
               "shared", "--num_batches", "2",
               "--warmup_batches", "1", "--baseline"]
 _ALPHA_32K = ["--model", "llama-3.1-8b", "--draft_model", "llama-3.2-1b",
+              "--attn_backend", "flash",
               "--quantize", "int4", "--kv_quant", "int4",
               "--draft_quant", "int8", "--B", "4",
               "--prefix_len", "32768", "--max_len", "34816", "--gamma", "4",

@@ -1308,6 +1308,7 @@ class LongSpecEngine(SpecEngine):
                 dstate = list(dfn(self.draft_params,
                                   tokens[:, i * part:(i + 1) * part],
                                   *dstate))
+                self._drain(dstate[2])
             if drem:
                 dstate = list(self._baseline_part_fn(
                     B, drem, which="draft", quant=False)(
@@ -1324,6 +1325,13 @@ class LongSpecEngine(SpecEngine):
                 dvs.append(dv_l)
             dk_new, dv_new = jnp.stack(dks), jnp.stack(dvs)
             fk = fv = qs = None  # free the temp cache before target phase
+            # DRAIN the draft phase before the target phase allocates: jax
+            # dispatch is async, so without this barrier the host enqueues
+            # the target parts (allocating their caches) while the temp
+            # fk/fv are still referenced by queued compress calls — the two
+            # phases' buffers coexist and blow the HBM ceiling, defeating
+            # the ordering (see _drain).
+            self._drain(dk_new[0, 0, 0])
             tstate = self._longspec_target_parts(tokens, part)
             return self._longspec_tail_fn(B, prefix, "snapkv")(
                 self.params, rng, salt, dk_new, dv_new, *tstate)
@@ -1342,6 +1350,7 @@ class LongSpecEngine(SpecEngine):
             for i in range(n_parts):
                 dstate = list(dfn(self.draft_params,
                                   tokens[:, i * part:(i + 1) * part], *dstate))
+                self._drain(dstate[2])
             if rem:
                 dstate = list(self._baseline_part_fn(
                     B, rem, which="draft", quant=False)(
@@ -1356,6 +1365,7 @@ class LongSpecEngine(SpecEngine):
             for i in range(n_parts):
                 dstate = list(dfn(self.draft_params,
                                   tokens[:, i * part:(i + 1) * part], *dstate))
+                self._drain(dstate[2])
             if rem:
                 dstate = list(self._stream_draft_part_fn(B, rem)(
                     self.draft_params, tokens[:, n_parts * part:], *dstate))
@@ -1364,9 +1374,21 @@ class LongSpecEngine(SpecEngine):
                 self.params, rng, salt, fill, *tstate, dk, dv)
         raise AssertionError(e.mode)  # snapkv handled above (draft first)
 
+    @staticmethod
+    def _drain(x) -> None:
+        """Host readback that forces the queued device work to finish —
+        dispatch on this backend allocates a call's temp buffers at ENQUEUE,
+        so back-to-back part calls stack their multi-GB transients unless
+        the queue drains between them (block_until_ready does not sync
+        through the remote relay; only a readback does).  ~28 ms per drain,
+        noise next to a multi-second prefill part at 8B scale."""
+        import numpy as _np
+        _np.asarray(jax.device_get(x)).ravel()[:1]
+
     def _longspec_target_parts(self, tokens, part: int):
         """Bounded donated TARGET prefill parts over the full prefix; returns
-        the running state list (caches..., lens, x_last)."""
+        the running state list (caches..., lens, x_last).  Drained per call
+        (see _drain — 8B part transients are ~1.5-2 GB each)."""
         B, prefix = tokens.shape
         caches = self._zero_target_caches(B)
         quant = caches.get("ks") is not None
@@ -1381,6 +1403,7 @@ class LongSpecEngine(SpecEngine):
         for i in range(n_parts):
             tstate = list(fn(self.params, tokens[:, i * part:(i + 1) * part],
                              *tstate))
+            self._drain(tstate[-2])
         if rem:
             tstate = list(self._baseline_part_fn(B, rem)(
                 self.params, tokens[:, n_parts * part:], *tstate))
