@@ -34,6 +34,28 @@ from magicdec_tpu.engine.state import BaselineState, SpecState
 from magicdec_tpu.models import llama as M
 
 
+def _per_engine_cache(fn):
+    """Per-INSTANCE memo for jit-builder methods.
+
+    functools.lru_cache on a method keys `self` in a CLASS-level cache,
+    pinning the whole engine — params plus quantized draft copies, multi-GB
+    at 8B scale — for process lifetime even after the driver drops it (the
+    CLAUDE.md driver-held-refs hazard).  This cache lives in the instance's
+    __dict__ and dies with the engine."""
+    import functools as _ft
+
+    attr = "_cache_" + fn.__name__
+
+    @_ft.wraps(fn)
+    def wrapper(self, *args):
+        cache = self.__dict__.setdefault(attr, {})
+        if args not in cache:
+            cache[args] = fn(self, *args)
+        return cache[args]
+
+    return wrapper
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -425,7 +447,7 @@ class SpecEngine:
         compiler's request-size limit (HTTP 413)."""
         return self._dq_params
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _encode_fn(self, B: int, prefix: int):
         e, cfg = self.ecfg, self.cfg
         C = e.chunk_size
@@ -577,7 +599,7 @@ class SpecEngine:
                 *state))
         return self._encode_tail_fn(B)(self.params, rng, salt, *state)
 
-    @functools.lru_cache(maxsize=16)
+    @_per_engine_cache
     def _prefill_part_fn(self, B: int, T: int):
         """One split-prefill device call: target scan over T//Cp chunks +
         streaming-draft scan over T//C chunks, cache state donated."""
@@ -628,7 +650,7 @@ class SpecEngine:
         n_cache = 6 if quant else 4
         return jax.jit(part, donate_argnums=tuple(range(3, 3 + n_cache)))
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _encode_tail_fn(self, B: int):
         """head token + draft-cache finalize + fresh SpecState (split encode)."""
         e = self.ecfg
@@ -708,7 +730,7 @@ class SpecEngine:
         dk, dv = fill(st.dk, st.dv, dk_new, dv_new)
         return st.replace(dk=dk, dv=dv)
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _snapkv_window_fn(self, B: int, prefix: int):
         """Observation-window chunk (target forward + append + per-layer
         window-query collection) + head token + fresh SpecState with
@@ -741,7 +763,7 @@ class SpecEngine:
         n_cache = 4 if quant else 2
         return jax.jit(tail, donate_argnums=tuple(range(4, 4 + n_cache)))
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _snapkv_layer_compress_fn(self, B: int, prefix: int, mcfg,
                                   quant: bool):
         """ONE layer's snapkv compression as its own jitted call (reused for
@@ -764,7 +786,7 @@ class SpecEngine:
 
         return jax.jit(comp)
 
-    @functools.lru_cache(maxsize=4)
+    @_per_engine_cache
     def _snapkv_fill_draft_fn(self):
         budget = self.ecfg.draft_budget
 
@@ -795,7 +817,7 @@ class SpecEngine:
         return (self._window_snapkv if self.ecfg.mode == "snapkv"
                 else self._window_streaming)
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _generate_fn(self, B: int):
         e = self.ecfg
         window = self._window()
@@ -1030,7 +1052,7 @@ class SpecEngine:
                 self.params, tokens[:, n_parts * part:], *state))
         return self._baseline_tail_fn(B)(self.params, rng, salt, *state)
 
-    @functools.lru_cache(maxsize=16)
+    @_per_engine_cache
     def _baseline_part_fn(self, B: int, T: int, which: str = "target",
                           quant: Optional[bool] = None):
         """One bounded chunked-prefill device call over T tokens, cache state
@@ -1085,7 +1107,7 @@ class SpecEngine:
         n_cache = 4 if quant else 2
         return jax.jit(part, donate_argnums=tuple(range(2, 2 + n_cache)))
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _baseline_tail_fn(self, B: int):
         quant = bool(self.ecfg.kv_quant)
 
@@ -1106,7 +1128,7 @@ class SpecEngine:
         n_cache = 4 if quant else 2
         return jax.jit(tail, donate_argnums=tuple(range(3, 3 + n_cache)))
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _encode_baseline_fn(self, B: int, prefix: int):
         e, cfg = self.ecfg, self.cfg
         C = e.prefill_chunk_size or e.chunk_size
@@ -1153,7 +1175,7 @@ class SpecEngine:
         return state, {"output": state.output, "num_committed": state.num_committed,
                        "gen_tokens": state.num_committed - 1}
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _generate_baseline_fn(self, B: int, max_new: int):
         # hinted like the spec windows: baseline steps (M = B) must take the
         # same target kernels as verify (M = B * (gamma + 1)) — see _hinted
@@ -1409,7 +1431,7 @@ class LongSpecEngine(SpecEngine):
                 self.params, tokens[:, n_parts * part:], *tstate))
         return tstate
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _longspec_snapkv_window_fn(self, B: int):
         """Draft observation-window chunk on the TEMP full cache: forward +
         append + per-layer window-query collection (no state assembly —
@@ -1424,7 +1446,7 @@ class LongSpecEngine(SpecEngine):
 
         return jax.jit(win, donate_argnums=(3, 4))
 
-    @functools.lru_cache(maxsize=16)
+    @_per_engine_cache
     def _stream_draft_part_fn(self, B: int, T: int):
         """Bounded streaming-draft prefill part (sink+window eviction carry),
         draft cache donated."""
@@ -1456,7 +1478,7 @@ class LongSpecEngine(SpecEngine):
 
         return jax.jit(part, donate_argnums=(2, 3))
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _longspec_tail_fn(self, B: int, prefix: int, mode: str):
         """head token + draft finalize + fresh SpecState for the split
         longspec encode.  Signature varies by mode (lru key includes it)."""
@@ -1532,7 +1554,7 @@ class LongSpecEngine(SpecEngine):
         # the draft cache built at encode time, not the decode step
         return self._window_streaming
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _encode_fn(self, B: int, prefix: int):
         e, cfg, dcfg = self.ecfg, self.cfg, self.draft_cfg
         C = e.chunk_size

@@ -30,7 +30,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from magicdec_tpu.engine.engine import LongSpecEngine, SpecEngine
+from magicdec_tpu.engine.engine import _per_engine_cache, LongSpecEngine, SpecEngine
 from magicdec_tpu.engine.state import SpecState
 
 
@@ -71,7 +71,7 @@ class ServingEngine(SpecEngine):
     def _spec_state_shardings(self):
         return self._spec_shardings
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _windows_fn(self, B: int, n_windows: int):
         window = self._window()
 
@@ -152,7 +152,7 @@ class ServingEngine(SpecEngine):
             sst = fn(sst, stk, slots)
         return sst
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _admit_fn(self, B: int, k: int):
         def admit(sst: ServingState, stk: SpecState, slots) -> ServingState:
             spec = sst.spec
@@ -466,7 +466,7 @@ class PagedServingEngine(ServingEngine):
             sst = fn(sst, stk, slots, tables)
         return sst
 
-    @functools.lru_cache(maxsize=8)
+    @_per_engine_cache
     def _admit_fn(self, B: int, k: int, n_used: int, pgeom):
         ps = self.ecfg.page_size
         npr = self._npr
@@ -543,9 +543,15 @@ class PagedServingEngine(ServingEngine):
         reserve = e.max_gen + e.gamma + 2
         n_pages = B * npr if total_pages is None else total_pages
         worst = -(-(max(len(p) for p in prompts) + reserve) // ps)
-        if n_pages < worst:
-            raise ValueError(f"total_pages={n_pages} cannot hold the longest "
-                             f"request ({worst} pages)")
+        data_axis = (self.mesh.shape.get("data", 1)
+                     if self.mesh is not None else 1)
+        # capacity is PER data group: a request must fit one group's page
+        # partition (n_pages // data), not the whole pool — otherwise it is
+        # never admittable and the serve loop would spin forever
+        if n_pages // data_axis < worst:
+            raise ValueError(
+                f"total_pages={n_pages} over data={data_axis} groups cannot "
+                f"hold the longest request ({worst} pages per group needed)")
         sst = self.init_serving(B, max(len(p) for p in prompts), rng=rng,
                                 total_pages=n_pages)
         # One native Scheduler + PageAllocator PER data group: each group
@@ -553,10 +559,7 @@ class PagedServingEngine(ServingEngine):
         # group-local — init_serving).  data == 1 is one group over
         # everything, the original layout.
         data, Bl, _Pl = self._pgeom
-        if n_pages % data:
-            raise ValueError(f"total_pages={n_pages} must divide by the "
-                             f"data axis {data}")
-        npg = n_pages // data
+        npg = n_pages // data  # divisibility validated by init_serving
         scheds = [native.Scheduler(Bl) for _ in range(data)]
         allocs = [native.PageAllocator(npg, ps, Bl, npr) for _ in range(data)]
         slot_pages: Dict[int, Tuple[int, int]] = {}  # slot -> (group, aslot)

@@ -55,10 +55,13 @@ _SCAN_UNROLL = int(os.environ.get("MAGICDEC_SCAN_UNROLL", "1"))
 Params = Dict[str, Any]
 
 
-def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
-    """Linear layer dispatch: dense array or QuantizedWeight (int8/int4)."""
+def matmul(x: jnp.ndarray, w, rows_hint: int = 0) -> jnp.ndarray:
+    """Linear layer dispatch: dense array or QuantizedWeight (int8/int4).
+    ``rows_hint`` (cfg.decode_rows) must reach EVERY quantized matmul a
+    TARGET decode/verify pass can take — see config.py's M-invariant
+    routing contract."""
     if is_quantized(w):
-        return quant_matmul(x, w)
+        return quant_matmul(x, w, rows_hint=rows_hint)
     return x @ w
 Caches = Any  # pytree of [L, ...] arrays
 
@@ -106,8 +109,9 @@ def _mlp(x: jnp.ndarray, wl: Params, cfg: ModelConfig,
         return dense_matmul(jax.nn.silu(gate) * up, wl["w2"],
                             residual=residual, rows_hint=hint)
     x = rms_norm(x, *norm)
-    gate, up = matmul(x, wl["w1"]), matmul(x, wl["w3"])
-    y = matmul(jax.nn.silu(gate) * up, wl["w2"])
+    gate = matmul(x, wl["w1"], rows_hint=hint)
+    up = matmul(x, wl["w3"], rows_hint=hint)
+    y = matmul(jax.nn.silu(gate) * up, wl["w2"], rows_hint=hint)
     return y if residual is None else residual + y
 
 
@@ -137,7 +141,7 @@ def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
             if wl.get("bqkv") is not None:
                 qkv = qkv + wl["bqkv"]
         else:
-            qkv = matmul(rms_norm(x, *norm), wl["wqkv"])
+            qkv = matmul(rms_norm(x, *norm), wl["wqkv"], rows_hint=hint)
             if wl.get("bqkv") is not None:
                 qkv = qkv + wl["bqkv"]
         q = qkv[..., :nq]
@@ -145,9 +149,9 @@ def _qkv(x: jnp.ndarray, wl: Params, cfg: ModelConfig):
         v = qkv[..., nq + nkv:]
     else:
         x = rms_norm(x, *norm)
-        q = matmul(x, wl["wq"])
-        k = matmul(x, wl["wk"])
-        v = matmul(x, wl["wv"])
+        q = matmul(x, wl["wq"], rows_hint=hint)
+        k = matmul(x, wl["wk"], rows_hint=hint)
+        v = matmul(x, wl["wv"], rows_hint=hint)
         if wl.get("bq") is not None:
             q = q + wl["bq"]
             k = k + wl["bk"]
