@@ -34,6 +34,23 @@ LADDER = [
     ("32k/B32 int4+dq8", ["--kv_quant", "int4", "--prefix_len", "32768",
                           "--B", "32", "--gamma", "4", "--kv_scale", "bf16",
                           "--draft_head", "shared", "--iters", "2"]),
+    # round-5 batch frontier + the split-prefill-unlocked 32k snapkv row
+    ("8k/B96 int4+dq8", ["--kv_quant", "int4", "--B", "96", "--gamma", "3",
+                         "--kv_scale", "bf16", "--draft_head", "shared",
+                         "--prefill_max_call", "4096",
+                         "--prefill_chunk", "256"]),
+    ("8k/B128 int4+int8w", ["--kv_quant", "int4", "--B", "128", "--gamma",
+                            "3", "--quantize", "int8", "--draft_budget",
+                            "257", "--kv_scale", "bf16", "--quantize_embed",
+                            "--prefill_max_call", "4096",
+                            "--prefill_chunk", "128"]),
+    ("32k/B32 snapkv int4+dq8", ["--mode", "snapkv", "--kv_quant", "int4",
+                                 "--prefix_len", "32768", "--B", "32",
+                                 "--gamma", "4", "--kv_scale", "bf16",
+                                 "--draft_head", "shared", "--quantize_embed",
+                                 "--draft_budget", "257", "--iters", "2",
+                                 "--prefill_chunk", "256",
+                                 "--prefill_max_call", "4096"]),
 ]
 QUICK = LADDER[1:2]
 SMOKE = [("smoke", ["--platform", "cpu", "--model", "llama-68m", "--B", "2",
