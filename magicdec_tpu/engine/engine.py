@@ -47,11 +47,12 @@ def _per_engine_cache(fn):
     attr = "_cache_" + fn.__name__
 
     @_ft.wraps(fn)
-    def wrapper(self, *args):
+    def wrapper(self, *args, **kw):
+        key = args + tuple(sorted(kw.items()))
         cache = self.__dict__.setdefault(attr, {})
-        if args not in cache:
-            cache[args] = fn(self, *args)
-        return cache[args]
+        if key not in cache:
+            cache[key] = fn(self, *args, **kw)
+        return cache[key]
 
     return wrapper
 
