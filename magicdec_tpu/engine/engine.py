@@ -417,7 +417,8 @@ class SpecEngine:
           are multiples of both chunk sizes (bench shapes always do);
         - snapkv self-spec: the PRE-WINDOW prefix (prefix - window_size)
           splits into Cp-multiple parts; the observation-window chunk stays
-          in the bounded tail call (_snapkv_tail_fn).
+          in the bounded tail call (_snapkv_window_fn + per-layer
+          compression calls).
         LongSpecEngine overrides with the standalone-draft variants."""
         e = self.ecfg
         if (not e.prefill_max_call_tokens or self.mesh is not None
