@@ -159,7 +159,12 @@ def _pick_block_out(F: int, rows: int, block_in: int, In: int,
     fixed = rows * (2 * block_in * 2)          # x block, double-buffered bf16
     if norm:
         fixed += rows * In * 2                 # normalized-rows VMEM scratch
-    budget = 12 * 1024 * 1024
+    # 9 MiB model budget ≈ 16 MiB real scoped VMEM: the model undercounts
+    # the in-kernel bf16 weight cast and output double-buffer by ~40%
+    # (calibrated on the AOT reject at rows=512, In=8192, bo=1024: model
+    # 11.3 MiB vs real 16.11 MiB; bo=512 compiles).  Known-good blockings
+    # (rows<=256 ladder shapes) are unchanged under this budget.
+    budget = 9 * 1024 * 1024
     for bo in (8192, 4096, 3072, 2048, 1536, 1024, 768, 512, 384, 256):
         if F % bo:
             continue
@@ -205,6 +210,12 @@ def quant_matmul(x: jnp.ndarray, wq: QuantizedWeight, norm=None,
         In = wq.q.shape[0] * (2 if wq.bits == 4 else 1)
         Out = wq.q.shape[1]
         F = Out // 2 if gate else Out
+        # rows cap 256: measured on v5e (round 5) — raising it to 512 so
+        # the B=128 int8-target verify (M=512) takes the kernels made the
+        # row SLOWER end-to-end (3731 vs 3882 tok/s): at large M the
+        # VMEM-constrained small blocks lose to XLA's dequant-fused dots,
+        # the same lesson as the dense-kernel A/B.  Beyond the cap, baseline
+        # and verify consistently take the jnp path (rows is the hint).
         if rows <= 256 and M <= rows and In % 512 == 0 and F % 256 == 0:
             block_in = _in_block_cap(In)
             # norm fusion needs the whole contraction in one int8 block (the
